@@ -1,0 +1,264 @@
+"""Deterministic image codecs + comparison oracles. Pure numpy + stdlib.
+
+The container has no PIL/imagecodecs, so the engine ships its own codecs:
+
+ - ``raw``: uint8 C-order (h, w, bands) — lossless, zero-copy.
+ - ``png``: a real PNG encoder/decoder (zlib + CRC32, filter 0 written,
+   filters 0-4 decoded) — lossless, byte-deterministic.
+ - ``jpg``: a JPEG-class lossy codec — 8×8 blockwise DCT-II, standard
+   JPEG luminance quantization table scaled by quality, zlib-packed
+   coefficients. The container is NOT JFIF (libjpeg is unavailable here);
+   the rate/distortion behaviour is the real thing, so the per-row
+   invariant "decoded-pixel allclose, PSNR≥40 dB for lossy" is exercised
+   for real. Pinned settings: quality=90, no subsampling.
+
+Comparison oracles mirror the reference's own tolerance comparators
+``are_imgs_equal`` / ``are_img_bands_equal``
+(``python/rsgislib/imagecalc/__init__.py:1408-1557``).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from binascii import crc32
+
+import numpy as np
+
+# ----------------------------------------------------------------- raw
+
+
+def encode_raw(arr: np.ndarray) -> bytes:
+    return np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def decode_raw(buf: bytes, h: int, w: int, bands: int = 1) -> np.ndarray:
+    a = np.frombuffer(buf, dtype=np.uint8, count=h * w * bands)
+    return a.reshape((h, w) if bands == 1 else (h, w, bands))
+
+
+# ----------------------------------------------------------------- png
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """8-bit grayscale (h,w) or RGB (h,w,3) PNG, filter 0, zlib level 6."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, nch = 0, 1
+        h, w = arr.shape
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, nch = 2, 3
+        h, w = arr.shape[:2]
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = arr.reshape(h, w * nch)
+    scan = np.empty((h, w * nch + 1), dtype=np.uint8)
+    scan[:, 0] = 0  # filter type 0 per scanline
+    scan[:, 1:] = raw
+    idat = zlib.compress(scan.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a png")
+    off = 8
+    idat = bytearray()
+    w = h = bit_depth = color_type = None
+    while off < len(buf):
+        (length,) = struct.unpack_from(">I", buf, off)
+        tag = buf[off + 4 : off + 8]
+        data = buf[off + 8 : off + 8 + length]
+        off += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack_from(">IIBB", data, 0)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if bit_depth != 8 or color_type not in (0, 2):
+        raise ValueError("only 8-bit gray/rgb supported")
+    nch = 1 if color_type == 0 else 3
+    stride = w * nch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    if (ftypes == 0).all():  # fast path (what we write)
+        out[:] = raw[:, 1:]
+    else:  # full filter reconstruction, scanline at a time
+        bpp = nch
+        prev = np.zeros(stride, dtype=np.int32)
+        for r in range(h):
+            f = ftypes[r]
+            cur = raw[r, 1:].astype(np.int32)
+            if f == 0:
+                rec = cur
+            elif f == 1:  # Sub
+                rec = cur.copy()
+                for i in range(bpp, stride):
+                    rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+            elif f == 2:  # Up
+                rec = (cur + prev) & 0xFF
+            elif f == 3:  # Average
+                rec = cur.copy()
+                for i in range(stride):
+                    a = rec[i - bpp] if i >= bpp else 0
+                    rec[i] = (rec[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                rec = cur.copy()
+                for i in range(stride):
+                    a = rec[i - bpp] if i >= bpp else 0
+                    b = prev[i]
+                    c = prev[i - bpp] if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[i] = (rec[i] + pr) & 0xFF
+            else:
+                raise ValueError(f"bad filter {f}")
+            out[r] = rec.astype(np.uint8)
+            prev = rec
+    return out.reshape((h, w) if nch == 1 else (h, w, nch))
+
+
+# ------------------------------------------------------------ lossy (DCT)
+
+# Standard JPEG luminance quantization table (Annex K, public).
+_JPEG_LUMA_Q = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+
+_DCT_MAGIC = b"RSDC1\x00"
+
+
+def _qtable(quality: int) -> np.ndarray:
+    q = max(1, min(100, int(quality)))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    t = np.floor((_JPEG_LUMA_Q * scale + 50) / 100)
+    return np.clip(t, 1, 255)
+
+
+def _dct_mat() -> np.ndarray:
+    n = 8
+    k = np.arange(n)
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    m[0] = np.sqrt(1.0 / n)
+    return m
+
+
+_DCT_M = _dct_mat()
+
+
+def _blockify(img: np.ndarray):
+    h, w = img.shape
+    H = (h + 7) // 8 * 8
+    W = (w + 7) // 8 * 8
+    pad = np.pad(img.astype(np.float64), ((0, H - h), (0, W - w)), mode="edge")
+    b = pad.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+    return b, H, W
+
+
+def encode_dct(arr: np.ndarray, quality: int = 90) -> bytes:
+    """Lossy encode one channel or (h,w,c) uint8 image."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    chans = [arr] if arr.ndim == 2 else [arr[:, :, i] for i in range(arr.shape[2])]
+    h, w = arr.shape[:2]
+    nch = len(chans)
+    q = _qtable(quality)
+    payload = []
+    for ch in chans:
+        b, H, W = _blockify(ch)
+        coeff = np.einsum("ij,abjk,lk->abil", _DCT_M, b - 128.0, _DCT_M)
+        qc = np.round(coeff / q).astype(np.int16)
+        payload.append(qc.tobytes())
+    body = zlib.compress(b"".join(payload), 6)
+    head = _DCT_MAGIC + struct.pack("<HHBB", h, w, nch, quality)
+    return head + body
+
+
+def decode_dct(buf: bytes) -> np.ndarray:
+    if buf[:6] != _DCT_MAGIC:
+        raise ValueError("not an RSDC lossy payload")
+    h, w, nch, quality = struct.unpack_from("<HHBB", buf, 6)
+    q = _qtable(quality)
+    H = (h + 7) // 8 * 8
+    W = (w + 7) // 8 * 8
+    nblocks = (H // 8) * (W // 8)
+    raw = zlib.decompress(buf[12:])
+    out = []
+    per = nblocks * 64 * 2
+    for c in range(nch):
+        qc = np.frombuffer(raw, dtype=np.int16, count=nblocks * 64, offset=c * per)
+        qc = qc.reshape(H // 8, W // 8, 8, 8).astype(np.float64) * q
+        blocks = np.einsum("ji,abjk,kl->abil", _DCT_M, qc, _DCT_M)
+        img = blocks.transpose(0, 2, 1, 3).reshape(H, W) + 128.0
+        out.append(np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w])
+    return out[0] if nch == 1 else np.stack(out, axis=2)
+
+
+# --------------------------------------------------------------- dispatch
+
+
+def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return encode_raw(arr)
+    if fmt == "png":
+        return encode_png(arr)
+    if fmt == "jpg":
+        return encode_dct(arr, quality=90)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode_image(buf: bytes, fmt: str, h: int, w: int, bands: int = 1) -> np.ndarray:
+    if fmt == "raw":
+        return decode_raw(buf, h, w, bands)
+    if fmt == "png":
+        return decode_png(bytes(buf))
+    if fmt == "jpg":
+        return decode_dct(bytes(buf))
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+# ----------------------------------------------------------------- oracles
+
+
+def psnr(a: np.ndarray, b: np.ndarray, peak: float = 255.0) -> float:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(peak * peak / mse))
+
+
+def images_equal(a: np.ndarray, b: np.ndarray, flt_dif: float = 0.0001, prop_eql: float = 1.0) -> bool:
+    """Reference ``are_imgs_equal`` semantics: proportion of pixels within
+    ``flt_dif`` must be >= ``prop_eql`` (imagecalc/__init__.py:1408-1476)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    if a.shape != b.shape:
+        return False
+    prop = float(np.mean(np.abs(a - b) < flt_dif))
+    return prop >= prop_eql

@@ -1,0 +1,348 @@
+"""Planar geometry kernels: bbox algebra, point-in-polygon, rect×polygon
+predicates. Pure numpy, vectorized over point/geometry batches.
+
+Mirrors the semantics the reference gets from shapely/OGR:
+ - bbox algebra: ``python/rsgislib/tools/geometrytools.py:82-251``
+   (bbox layout there is ``(xMin, xMax, yMin, yMax)``; we use
+   ``(minx, miny, maxx, maxy)`` internally and only convert at the API edge)
+ - spatial-join predicates intersects/within/contains:
+   ``python/rsgislib/vectorutils/__init__.py:2159-2225`` (geopandas sjoin)
+
+Polygons are represented as a list of rings; each ring an (N,2) float64
+array, first ring the shell, subsequent rings holes, not closed
+(first point != last point required). Even-odd rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- bbox ops
+
+
+def bbox_intersects(a, b) -> np.ndarray:
+    """Vectorized bbox-overlap test. a: (n,4), b: (m,4) -> (n,m) bool.
+
+    Closed-interval semantics (touching boxes intersect) — matches OGR/
+    shapely ``intersects`` on envelopes and the reference's
+    ``do_bboxes_intersect`` (geometrytools.py).
+    """
+    a = np.asarray(a, dtype=np.float64).reshape(-1, 4)
+    b = np.asarray(b, dtype=np.float64).reshape(-1, 4)
+    return (
+        (a[:, None, 0] <= b[None, :, 2])
+        & (a[:, None, 2] >= b[None, :, 0])
+        & (a[:, None, 1] <= b[None, :, 3])
+        & (a[:, None, 3] >= b[None, :, 1])
+    )
+
+
+def bbox_contains(outer, inner) -> np.ndarray:
+    """outer (n,4) fully contains inner (m,4) -> (n,m) bool (closed)."""
+    o = np.asarray(outer, dtype=np.float64).reshape(-1, 4)
+    i = np.asarray(inner, dtype=np.float64).reshape(-1, 4)
+    return (
+        (o[:, None, 0] <= i[None, :, 0])
+        & (o[:, None, 1] <= i[None, :, 1])
+        & (o[:, None, 2] >= i[None, :, 2])
+        & (o[:, None, 3] >= i[None, :, 3])
+    )
+
+
+def bbox_intersection(a, b):
+    """Pairwise intersection of equal-length bbox arrays; rows with no
+    overlap return a degenerate (nan) box."""
+    a = np.asarray(a, dtype=np.float64).reshape(-1, 4)
+    b = np.asarray(b, dtype=np.float64).reshape(-1, 4)
+    out = np.empty_like(a)
+    out[:, 0] = np.maximum(a[:, 0], b[:, 0])
+    out[:, 1] = np.maximum(a[:, 1], b[:, 1])
+    out[:, 2] = np.minimum(a[:, 2], b[:, 2])
+    out[:, 3] = np.minimum(a[:, 3], b[:, 3])
+    bad = (out[:, 0] > out[:, 2]) | (out[:, 1] > out[:, 3])
+    out[bad] = np.nan
+    return out
+
+
+def bbox_area(b) -> np.ndarray:
+    b = np.asarray(b, dtype=np.float64).reshape(-1, 4)
+    return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+
+
+def buffer_bbox(b, buf: float):
+    b = np.asarray(b, dtype=np.float64).reshape(-1, 4).copy()
+    b[:, 0] -= buf
+    b[:, 1] -= buf
+    b[:, 2] += buf
+    b[:, 3] += buf
+    return b
+
+
+def grid_bbox(minx, miny, maxx, maxy, ncols: int, nrows: int):
+    """Split a bbox into an ncols×nrows grid of bboxes (row-major, top-left
+    first) — reference ``get_bbox_grid`` (geometrytools.py:443-506)."""
+    xs = np.linspace(minx, maxx, ncols + 1)
+    ys = np.linspace(miny, maxy, nrows + 1)
+    boxes = []
+    for r in range(nrows - 1, -1, -1):
+        for c in range(ncols):
+            boxes.append((xs[c], ys[r], xs[c + 1], ys[r + 1]))
+    return np.asarray(boxes, dtype=np.float64)
+
+
+# ------------------------------------------------------- polygon predicates
+
+
+def polygon_bbox(rings) -> np.ndarray:
+    pts = np.vstack(rings)
+    return np.array(
+        [pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()],
+        dtype=np.float64,
+    )
+
+
+def polygon_area(rings) -> float:
+    """Shoelace area; holes subtract (area taken as |shell| - sum|holes|)."""
+    total = 0.0
+    for i, ring in enumerate(rings):
+        r = np.asarray(ring, dtype=np.float64)
+        x, y = r[:, 0], r[:, 1]
+        a = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        total += a if i == 0 else -a
+    return total
+
+
+def polygon_centroid(rings):
+    """Area-weighted centroid of the shell ring (holes ignored — matches the
+    reference's use of centroids only for point sampling)."""
+    r = np.asarray(rings[0], dtype=np.float64)
+    x, y = r[:, 0], r[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    cross = x * y1 - x1 * y
+    a = cross.sum() / 2.0
+    if a == 0:
+        return float(x.mean()), float(y.mean())
+    cx = ((x + x1) * cross).sum() / (6.0 * a)
+    cy = ((y + y1) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def points_in_polygon(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """Even-odd ray-cast point-in-polygon, vectorized over points.
+
+    Half-open edge convention (a point exactly on a horizontal-crossing
+    boundary counts per the standard crossing rule); matches shapely's
+    ``contains`` for interior points — boundary points are resolved by the
+    deterministic crossing count, documented for parity tests.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        x0, y0 = r[:, 0], r[:, 1]
+        x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+        # edge straddles the horizontal line through the point
+        cond = (y0[None, :] > py[:, None]) != (y1[None, :] > py[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xin = x0[None, :] + (py[:, None] - y0[None, :]) / (y1 - y0)[None, :] * (
+                x1 - x0
+            )[None, :]
+        cross = cond & (px[:, None] < xin)
+        inside ^= (cross.sum(axis=1) % 2).astype(bool)
+    return inside
+
+
+def _seg_intersect_any(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> np.ndarray:
+    """Proper/improper segment intersection test.
+
+    a-segments (n,), b-segments (m,) -> (n,m) bool. Uses orientation signs
+    with collinear-overlap handling (standard CCW test).
+    """
+
+    def orient(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    ax0, ay0, ax1, ay1 = (np.asarray(v, dtype=np.float64)[:, None] for v in (ax0, ay0, ax1, ay1))
+    bx0, by0, bx1, by1 = (np.asarray(v, dtype=np.float64)[None, :] for v in (bx0, by0, bx1, by1))
+
+    d1 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    d2 = orient(bx0, by0, bx1, by1, ax1, ay1)
+    d3 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    d4 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+
+    proper = ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+    def on_seg(sx0, sy0, sx1, sy1, px_, py_):
+        return (
+            (np.minimum(sx0, sx1) <= px_)
+            & (px_ <= np.maximum(sx0, sx1))
+            & (np.minimum(sy0, sy1) <= py_)
+            & (py_ <= np.maximum(sy0, sy1))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(bx0, by0, bx1, by1, ax0, ay0))
+        | ((d2 == 0) & on_seg(bx0, by0, bx1, by1, ax1, ay1))
+        | ((d3 == 0) & on_seg(ax0, ay0, ax1, ay1, bx0, by0))
+        | ((d4 == 0) & on_seg(ax0, ay0, ax1, ay1, bx1, by1))
+    )
+    return proper | touch
+
+
+def _rect_edges(rect):
+    minx, miny, maxx, maxy = rect
+    xs0 = np.array([minx, maxx, maxx, minx])
+    ys0 = np.array([miny, miny, maxy, maxy])
+    xs1 = np.array([maxx, maxx, minx, minx])
+    ys1 = np.array([miny, maxy, maxy, miny])
+    return xs0, ys0, xs1, ys1
+
+
+def rect_intersects_polygon(rects: np.ndarray, rings) -> np.ndarray:
+    """shapely-``intersects`` semantics between axis-aligned rects (n,4)
+    and one polygon: true if boundaries touch/cross or either contains
+    the other."""
+    rects = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
+    n = len(rects)
+    out = np.zeros(n, dtype=bool)
+    pbox = polygon_bbox(rings)
+    cand = bbox_intersects(rects, pbox[None, :])[:, 0]
+    if not cand.any():
+        return out
+    idx = np.nonzero(cand)[0]
+    shell = np.asarray(rings[0], dtype=np.float64)
+    # polygon vertex inside rect?
+    for i in idx:
+        r = rects[i]
+        verts_in = (
+            (shell[:, 0] >= r[0])
+            & (shell[:, 0] <= r[2])
+            & (shell[:, 1] >= r[1])
+            & (shell[:, 1] <= r[3])
+        ).any()
+        if verts_in:
+            out[i] = True
+            continue
+        # rect corner inside polygon?
+        cx = np.array([r[0], r[2], r[2], r[0]])
+        cy = np.array([r[1], r[1], r[3], r[3]])
+        if points_in_polygon(cx, cy, rings).any():
+            out[i] = True
+            continue
+        # edge crossings (shell or holes)
+        rx0, ry0, rx1, ry1 = _rect_edges(r)
+        hit = False
+        for ring in rings:
+            rr = np.asarray(ring, dtype=np.float64)
+            ex0, ey0 = rr[:, 0], rr[:, 1]
+            ex1, ey1 = np.roll(ex0, -1), np.roll(ey0, -1)
+            if _seg_intersect_any(rx0, ry0, rx1, ry1, ex0, ey0, ex1, ey1).any():
+                hit = True
+                break
+        out[i] = hit
+    return out
+
+
+def rect_within_polygon(rects: np.ndarray, rings) -> np.ndarray:
+    """rect ⊆ polygon (shapely ``within``): all 4 corners inside (or on
+    boundary) and no polygon edge properly crossing the rect interior."""
+    rects = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
+    n = len(rects)
+    out = np.zeros(n, dtype=bool)
+    pbox = polygon_bbox(rings)
+    cand = bbox_contains(pbox[None, :], rects)[0]
+    for i in np.nonzero(cand)[0]:
+        r = rects[i]
+        cx = np.array([r[0], r[2], r[2], r[0]])
+        cy = np.array([r[1], r[1], r[3], r[3]])
+        if not points_in_polygon(cx, cy, rings).all():
+            continue
+        # no ring edge may enter the open interior of the rect
+        eps = 0.0
+        inner = (r[0] + eps, r[1] + eps, r[2] - eps, r[3] - eps)
+        crossed = False
+        for ring in rings:
+            rr = np.asarray(ring, dtype=np.float64)
+            ex0, ey0 = rr[:, 0], rr[:, 1]
+            ex1, ey1 = np.roll(ex0, -1), np.roll(ey0, -1)
+            # an edge with any point strictly inside the rect breaks 'within'
+            mid_in = (
+                ((ex0 + ex1) / 2 > inner[0])
+                & ((ex0 + ex1) / 2 < inner[2])
+                & ((ey0 + ey1) / 2 > inner[1])
+                & ((ey0 + ey1) / 2 < inner[3])
+            )
+            if mid_in.any():
+                crossed = True
+                break
+            rx0, ry0, rx1, ry1 = _rect_edges(r)
+            d = _seg_intersect_any(rx0, ry0, rx1, ry1, ex0, ey0, ex1, ey1)
+            # touching the boundary is allowed for 'within'; proper crossing not.
+            # re-run proper-only test:
+            if _seg_proper_cross(rx0, ry0, rx1, ry1, ex0, ey0, ex1, ey1).any():
+                crossed = True
+                break
+            del d
+        out[i] = not crossed
+    return out
+
+
+def _seg_proper_cross(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> np.ndarray:
+    def orient(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    ax0, ay0, ax1, ay1 = (np.asarray(v, dtype=np.float64)[:, None] for v in (ax0, ay0, ax1, ay1))
+    bx0, by0, bx1, by1 = (np.asarray(v, dtype=np.float64)[None, :] for v in (bx0, by0, bx1, by1))
+    d1 = orient(bx0, by0, bx1, by1, ax0, ay0)
+    d2 = orient(bx0, by0, bx1, by1, ax1, ay1)
+    d3 = orient(ax0, ay0, ax1, ay1, bx0, by0)
+    d4 = orient(ax0, ay0, ax1, ay1, bx1, by1)
+    return ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)) & (d1 != 0) & (d2 != 0) & (d3 != 0) & (d4 != 0)
+
+
+def rect_contains_polygon(rects: np.ndarray, rings) -> np.ndarray:
+    """rect ⊇ polygon: for a closed rect this is exactly bbox containment."""
+    pbox = polygon_bbox(rings)
+    return bbox_contains(np.asarray(rects).reshape(-1, 4), pbox[None, :])[:, 0]
+
+
+# -------------------------------------------------------------- WKB codec
+# Minimal WKB (ISO) polygon/multipolygon/point codec so geometry columns can
+# live in DataFrames as BinaryType without external deps.
+
+_WKB_POINT = 1
+_WKB_POLYGON = 3
+_WKB_MULTIPOLYGON = 6
+
+
+def polygon_to_wkb(rings) -> bytes:
+    import struct
+
+    out = [struct.pack("<BI", 1, _WKB_POLYGON), struct.pack("<I", len(rings))]
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        closed = np.vstack([r, r[:1]])
+        out.append(struct.pack("<I", len(closed)))
+        out.append(closed.astype("<f8").tobytes())
+    return b"".join(out)
+
+
+def wkb_to_polygon(buf: bytes):
+    import struct
+
+    byte_order, gtype = struct.unpack_from("<BI", buf, 0)
+    assert byte_order == 1
+    off = 5
+    if gtype == _WKB_POLYGON:
+        (nrings,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            (npts,) = struct.unpack_from("<I", buf, off)
+            off += 4
+            pts = np.frombuffer(buf, dtype="<f8", count=npts * 2, offset=off).reshape(npts, 2)
+            off += npts * 16
+            rings.append(np.ascontiguousarray(pts[:-1]))  # drop closing point
+        return rings
+    raise ValueError(f"unsupported wkb geometry type {gtype}")

@@ -1,0 +1,63 @@
+"""64-bit perceptual hash (pHash, 8×8 DCT) — pure numpy, batched.
+
+Classic public algorithm: downscale to 32×32 grayscale (area mean),
+2-D DCT-II, take the top-left 8×8 low-frequency block, threshold each
+coefficient against the median (DC term excluded from the median),
+pack 64 bits row-major into an int64 (two's complement).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rsgislib_spark.kernels.codecs import _dct_mat
+
+
+def _dct32() -> np.ndarray:
+    n = 32
+    k = np.arange(n)
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    m[0] = np.sqrt(1.0 / n)
+    return m
+
+
+_DCT32 = _dct32()
+_BITS = (np.uint64(1) << np.arange(64, dtype=np.uint64)[::-1])
+
+
+def _resize_area(img: np.ndarray, out: int = 32) -> np.ndarray:
+    """Deterministic area-style downscale to out×out via index binning."""
+    h, w = img.shape
+    ys = np.minimum((np.arange(out + 1) * h) // out, h)
+    xs = np.minimum((np.arange(out + 1) * w) // out, w)
+    c = np.zeros((h + 1, w + 1), dtype=np.float64)
+    c[1:, 1:] = np.cumsum(np.cumsum(img.astype(np.float64), axis=0), axis=1)
+    s = c[ys[1:, None], xs[None, 1:]] - c[ys[:-1, None], xs[None, 1:]] \
+        - c[ys[1:, None], xs[None, :-1]] + c[ys[:-1, None], xs[None, :-1]]
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    area = np.maximum(area, 1)
+    return s / area
+
+
+def phash64(img: np.ndarray) -> np.int64:
+    """pHash of a 2-D grayscale array (any dtype)."""
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    small = _resize_area(np.asarray(img, dtype=np.float64), 32)
+    coeff = _DCT32 @ small @ _DCT32.T
+    low = coeff[:8, :8].ravel()
+    med = np.median(low[1:])
+    bits = (low > med).astype(np.uint64)
+    return np.int64((bits * _BITS).sum().astype(np.uint64).view(np.int64))
+
+
+def hamming64(a, b) -> np.ndarray:
+    """Vectorized Hamming distance between int64 hashes."""
+    x = (np.asarray(a).astype(np.int64).view(np.uint64)
+         ^ np.asarray(b).astype(np.int64).view(np.uint64))
+    # popcount via bit-twiddling (numpy<2 has no bit_count)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):  # wraparound is intended in the popcount multiply
+        return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
