@@ -1,0 +1,93 @@
+"""Point-in-pixel extraction — reference ``ext_point_band_values``
+(``python/rsgislib/zonalstats/__init__.py:1390-1596``).
+
+Semantics reproduced: per point, locate the containing pixel by offset
+truncation (``:1536-1558``), read its value; points outside every image
+get ``out_no_data_val`` (``:1559-1573``); optional [min_thres, max_thres]
+rule maps out-of-range values to ``out_no_data_val``.
+
+Physical shape: points are the SMALL side — broadcast a numpy bundle of
+(pt_id, x, y); one pass over images emits (pt_id, image_id, value) hits;
+a final left join from points fills no-data rows. Zero shuffle of image
+payloads.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from rsgislib_spark.datagen import PIXEL_SIZE
+from rsgislib_spark.kernels import codecs, pixelmath
+
+
+def extract_point_values(
+    images: DataFrame,
+    points: DataFrame,
+    min_thres: float = -np.inf,
+    max_thres: float = np.inf,
+    out_no_data_val: float = -9999.0,
+    pixel_size: float = PIXEL_SIZE,
+) -> DataFrame:
+    """Returns points + ``value`` column (out_no_data_val where no image
+    covers the point or the value fails the threshold rule)."""
+    spark = images.sparkSession
+    pts_pdf = points.select("pt_id", "x", "y").toPandas()
+    pts_b = spark.sparkContext.broadcast(
+        (
+            pts_pdf["pt_id"].to_numpy(np.int64),
+            pts_pdf["x"].to_numpy(np.float64),
+            pts_pdf["y"].to_numpy(np.float64),
+        )
+    )
+    src = images.select("image_id", "bytes", "w", "h", "fmt", "minx", "miny")
+    schema = "pt_id long, image_id string, value double"
+
+    def _hits(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid, px, py = pts_b.value
+        for pdf in it:
+            outs = []
+            for rec in pdf.itertuples(index=False):
+                h, w = int(rec.h), int(rec.w)
+                maxy = rec.miny + h * pixel_size
+                maxx = rec.minx + w * pixel_size
+                cand = (px >= rec.minx) & (px <= maxx) & (py >= rec.miny) & (py <= maxy)
+                if not cand.any():
+                    continue
+                img = codecs.decode_image(rec.bytes, rec.fmt, h, w)
+                ix, iy, inside = pixelmath.point_pixel_lookup(
+                    px[cand], py[cand], rec.minx, maxy, pixel_size, pixel_size, w, h
+                )
+                vals = img[iy, ix].astype(np.float64)
+                outs.append(
+                    pd.DataFrame({"pt_id": pid[cand], "image_id": rec.image_id, "value": vals})
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(columns=["pt_id", "image_id", "value"])
+
+    hits = src.mapInPandas(_hits, schema=schema)
+    # threshold rule: out-of-range → no-data (reference :1559-1573)
+    hits = hits.withColumn(
+        "value",
+        F.when(
+            (F.col("value") >= F.lit(float(min_thres)))
+            & (F.col("value") <= F.lit(float(max_thres))),
+            F.col("value"),
+        ).otherwise(F.lit(float(out_no_data_val))),
+    )
+    # a point can be covered by several images; keep the deterministic
+    # first by image_id (reference reads one raster at a time — callers
+    # pass a single image for exact parity)
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("pt_id").orderBy("image_id")
+    best = (
+        hits.withColumn("rn", F.row_number().over(win))
+        .filter("rn = 1")
+        .select("pt_id", "image_id", "value")
+    )
+    return points.join(best, "pt_id", "left").fillna(
+        {"value": float(out_no_data_val)}
+    )

@@ -1,0 +1,110 @@
+"""Raster↔vector tiling: cut each decoded image into (overlapping) pixel
+tiles, one output row per tile, assigned to grid cells.
+
+Reproduces the reference's three tiling conventions exactly
+(kernels.pixelmath):
+
+ - ``simple``  — full tiles + partial remainder tiles
+   (``imageutils/__init__.py:2614-2669``, create_tiles_multi_core)
+ - ``overlap`` — C++ ``create_tiles`` overlap/offset expansion
+   (``src/cmds/RSGISCmdImageUtils.cpp:262+``)
+ - ``block``   — StdImgBlockIter full-size edge re-anchoring
+   (``stdimgblockiter.py:214-286``)
+
+The operator is the engine's UDTF shape (1 image row → N tile rows) via
+``mapInPandas``; decode runs once per image inside the Arrow batch, tile
+payloads are raw uint8 (lossless past this point). This is the Spark
+replacement for the reference's tmp-file tile exchange
+(``segmentation/tiledclump.py:134-224``) — the shuffle IS the filesystem.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from rsgislib_spark.datagen import PIXEL_SIZE
+from rsgislib_spark.kernels import cells, codecs, pixelmath
+from rsgislib_spark.operators.footprints import DEFAULT_RES
+
+TILE_SCHEMA = (
+    "image_id string, tile_x int, tile_y int, x0 int, y0 int, "
+    "tw int, th int, pixels binary, cell long"
+)
+
+_MODES = ("simple", "overlap", "block")
+
+
+def tile_windows(mode: str, w: int, h: int, tile_w: int, tile_h: int,
+                 overlap: int = 0, offset: bool = False) -> np.ndarray:
+    if mode == "simple":
+        return pixelmath.tile_windows_simple(w, h, tile_w, tile_h)
+    if mode == "overlap":
+        return pixelmath.tile_windows_overlap(w, h, tile_w, tile_h, overlap, offset)
+    if mode == "block":
+        return pixelmath.block_windows_anchored(w, h, tile_w)
+    raise ValueError(f"mode must be one of {_MODES}")
+
+
+def tile_images(
+    images: DataFrame,
+    tile_w: int = 64,
+    tile_h: int = 64,
+    mode: str = "simple",
+    overlap: int = 0,
+    offset: bool = False,
+    res: int = DEFAULT_RES,
+    pixel_size: float = PIXEL_SIZE,
+) -> DataFrame:
+    """images(image_id, bytes, w, h, fmt, minx, miny, ...) → tile rows.
+
+    Cell assignment: the grid cell containing the tile's spatial center
+    (image row 0 is the TOP of the footprint, GDAL convention).
+    """
+    if mode not in _MODES:
+        raise ValueError(f"mode must be one of {_MODES}")
+    src = images.select("image_id", "bytes", "w", "h", "fmt", "minx", "miny")
+
+    def _tile(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("image_id", "tile_x", "tile_y", "x0", "y0", "tw", "th", "pixels", "cell")}
+            for rec in pdf.itertuples(index=False):
+                w, h = int(rec.w), int(rec.h)
+                img = codecs.decode_image(rec.bytes, rec.fmt, h, w)
+                wins = tile_windows(mode, w, h, tile_w, tile_h, overlap, offset)
+                maxy = rec.miny + h * pixel_size
+                cx = rec.minx + (wins[:, 2] + wins[:, 4] / 2.0) * pixel_size
+                cy = maxy - (wins[:, 3] + wins[:, 5] / 2.0) * pixel_size
+                cc = cells.encode_point(cx, cy, res)
+                for k, (tx, ty, x0, y0, tw, th) in enumerate(wins):
+                    out["image_id"].append(rec.image_id)
+                    out["tile_x"].append(int(tx))
+                    out["tile_y"].append(int(ty))
+                    out["x0"].append(int(x0))
+                    out["y0"].append(int(y0))
+                    out["tw"].append(int(tw))
+                    out["th"].append(int(th))
+                    out["pixels"].append(
+                        np.ascontiguousarray(img[y0 : y0 + th, x0 : x0 + tw]).tobytes()
+                    )
+                    out["cell"].append(int(cc[k]))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(_tile, schema=TILE_SCHEMA)
+
+
+def tile_manifest(tiles: DataFrame) -> DataFrame:
+    """Per-image tile counts + payload bytes — the lineage/manifest row
+    source (see operators.manifest for the resumable writer)."""
+    from pyspark.sql import functions as F
+
+    return tiles.groupBy("image_id").agg(
+        F.count("*").alias("n_tiles"),
+        F.sum(F.length("pixels")).alias("payload_bytes"),
+        F.min("cell").alias("min_cell"),
+        F.max("cell").alias("max_cell"),
+    )

@@ -1,0 +1,259 @@
+"""Zonal aggregation — the reference's rasterGIS/zonalstats core.
+
+Two operators:
+
+ - :func:`segment_stats` — per-segment (clump) stats from a label grid:
+   ``populate_rat_with_stats`` (binding ``python/src/rastergis.cpp:1740-1766``,
+   impl ``src/rastergis/RSGISPopRATWithStats.cpp:59-470``). The reference
+   does a streaming sum/count pass plus a second pass for stddev; Spark's
+   partial+final hash aggregation replaces both with one pass (sum/sumsq).
+
+ - :func:`zonal_band_stats` — polygon zonal attribution:
+   ``calc_zonal_band_stats`` (``python/rsgislib/zonalstats/__init__.py:167-523``):
+   per polygon, pixels whose CENTER falls inside the polygon (inclusion
+   method "polyContainsPixelCenter", the hybrid default at ``:878-1321``),
+   masked by [min_thres, max_thres] and no-data, aggregated
+   min/max/mean/stddev/sum/count. No-valid-pixels ⇒ nulls
+   (reference fills out_no_data, ``:477-499``).
+
+Physical shape: one ``mapInPandas`` pass over images emits PARTIAL
+aggregates (zone, count, sum, sumsq, min, max) — the map-side combine —
+then a tiny ``groupBy(zone).agg`` finalizes. Pixel payloads never
+shuffle; only O(zones) partial rows do.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from rsgislib_spark.datagen import PIXEL_SIZE
+from rsgislib_spark.kernels import codecs, pixelmath
+from rsgislib_spark.operators.spatial_join import ZoneIndex
+
+_PARTIAL_SCHEMA = (
+    "zone_id long, n long, s double, ss double, mn double, mx double"
+)
+
+
+def _finalize(partials: DataFrame) -> DataFrame:
+    """Combine partial (n, s, ss, mn, mx) into the reference's stat set."""
+    agg = partials.groupBy("zone_id").agg(
+        F.sum("n").alias("count"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.min("mn").alias("min"),
+        F.max("mx").alias("max"),
+    )
+    mean = F.col("s") / F.col("count")
+    # population stddev (the reference computes sqrt(sum((x-mean)^2)/n):
+    # RSGISPopRATWithStats.cpp second pass)
+    var = F.col("ss") / F.col("count") - mean * mean
+    return agg.select(
+        "zone_id",
+        F.col("count"),
+        F.col("min"),
+        F.col("max"),
+        mean.alias("mean"),
+        F.col("s").alias("sum"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("stddev"),
+    )
+
+
+def segment_stats(images: DataFrame, segments: DataFrame) -> DataFrame:
+    """Per-(image, segment) pixel stats — RAT ``populate_rat_with_stats``.
+
+    Output key is the composite (image_id, zone) exposed as
+    ``image_id string, zone int`` plus Min/Max/Mean/Sum/StdDev/count —
+    the RAT column set of ``python_tests/test_rastergis.py:30-36``.
+    """
+    joined = images.select("image_id", "bytes", "w", "h", "fmt").join(
+        segments.select("image_id", "seg_bytes"), "image_id", "inner"
+    )
+    schema = (
+        "image_id string, zone int, n long, s double, ss double, "
+        "mn double, mx double"
+    )
+
+    def _partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for rec in pdf.itertuples(index=False):
+                h, w = int(rec.h), int(rec.w)
+                img = codecs.decode_image(rec.bytes, rec.fmt, h, w).astype(np.float64).ravel()
+                lab = np.frombuffer(rec.seg_bytes, dtype=np.int32, count=h * w)
+                nz = int(lab.max()) + 1
+                cnt = np.bincount(lab, minlength=nz)
+                s = np.bincount(lab, weights=img, minlength=nz)
+                ss = np.bincount(lab, weights=img * img, minlength=nz)
+                order = np.argsort(lab, kind="stable")
+                sorted_vals = img[order]
+                bounds = np.concatenate(([0], np.cumsum(cnt)))
+                mn = np.array([sorted_vals[bounds[i]:bounds[i + 1]].min() if cnt[i] else np.nan for i in range(nz)])
+                mx = np.array([sorted_vals[bounds[i]:bounds[i + 1]].max() if cnt[i] else np.nan for i in range(nz)])
+                keep = cnt > 0
+                outs.append(pd.DataFrame({
+                    "image_id": rec.image_id,
+                    "zone": np.arange(nz, dtype=np.int32)[keep],
+                    "n": cnt[keep].astype(np.int64),
+                    "s": s[keep], "ss": ss[keep], "mn": mn[keep], "mx": mx[keep],
+                }))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                columns=["image_id", "zone", "n", "s", "ss", "mn", "mx"]
+            )
+
+    partials = joined.mapInPandas(_partial, schema=schema)
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    # one partial row per (image, zone) already — finalize per composite key
+    return partials.select(
+        "image_id",
+        "zone",
+        F.col("n").alias("count"),
+        F.col("mn").alias("min"),
+        F.col("mx").alias("max"),
+        mean.alias("mean"),
+        F.col("s").alias("sum"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("stddev"),
+    )
+
+
+def segment_histogram(images: DataFrame, segments: DataFrame) -> DataFrame:
+    """Per-(image, segment, value) pixel counts — the exact-histogram path
+    used for mode/median parity (``populate_rat_with_mode``,
+    ``rastergis.cpp:1807-1821``; reference approximates with 200-bin
+    histograms, ``RSGISPopRATWithStats.cpp:1040-1130``)."""
+    joined = images.select("image_id", "bytes", "w", "h", "fmt").join(
+        segments.select("image_id", "seg_bytes"), "image_id", "inner"
+    )
+    schema = "image_id string, zone int, value int, cnt long"
+
+    def _hist(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for rec in pdf.itertuples(index=False):
+                h, w = int(rec.h), int(rec.w)
+                img = codecs.decode_image(rec.bytes, rec.fmt, h, w).ravel().astype(np.int64)
+                lab = np.frombuffer(rec.seg_bytes, dtype=np.int32, count=h * w).astype(np.int64)
+                key = lab * 256 + img
+                uniq, cnt = np.unique(key, return_counts=True)
+                outs.append(pd.DataFrame({
+                    "image_id": rec.image_id,
+                    "zone": (uniq // 256).astype(np.int32),
+                    "value": (uniq % 256).astype(np.int32),
+                    "cnt": cnt.astype(np.int64),
+                }))
+            yield pd.concat(outs) if outs else pd.DataFrame(columns=["image_id", "zone", "value", "cnt"])
+
+    return joined.mapInPandas(_hist, schema=schema)
+
+
+def segment_mode(images: DataFrame, segments: DataFrame) -> DataFrame:
+    """Per-(image, segment) modal pixel value; ties → smallest value
+    (deterministic; the reference's histogram scan picks the first bin)."""
+    hist = segment_histogram(images, segments)
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("image_id", "zone").orderBy(
+        F.desc("cnt"), F.asc("value")
+    )
+    return (
+        hist.withColumn("rn", F.row_number().over(win))
+        .filter("rn = 1")
+        .select("image_id", "zone", F.col("value").alias("mode"))
+    )
+
+
+def zonal_band_stats(
+    images: DataFrame,
+    zones: DataFrame,
+    min_thres: float = -np.inf,
+    max_thres: float = np.inf,
+    no_data_val: float | None = None,
+    pixel_size: float = PIXEL_SIZE,
+) -> DataFrame:
+    """Polygon zonal stats over image pixels (pixel-center-in-polygon).
+
+    zones broadcast as a ZoneIndex; a single image pass emits per-zone
+    partials. Returns zone_id + count/min/max/mean/sum/stddev (null stats
+    for zones with zero valid pixels — the reference's no-data fill rule).
+    """
+    spark = images.sparkSession
+    zones_pdf = zones.select("zone_id", "geometry").toPandas()
+    zindex_b = spark.sparkContext.broadcast(ZoneIndex.from_pandas(zones_pdf))
+
+    src = images.select("image_id", "bytes", "w", "h", "fmt", "minx", "miny")
+
+    def _partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zx: ZoneIndex = zindex_b.value
+        for pdf in it:
+            acc = {}
+            for rec in pdf.itertuples(index=False):
+                h, w = int(rec.h), int(rec.w)
+                maxy = rec.miny + h * pixel_size
+                maxx = rec.minx + w * pixel_size
+                qi, zi = zx.tree.query(
+                    np.array([[rec.minx, rec.miny, maxx, maxy]])
+                )
+                if len(zi) == 0:
+                    continue
+                img = codecs.decode_image(rec.bytes, rec.fmt, h, w).astype(np.float64)
+                for z in zi:
+                    rings = zx.rings[z]
+                    zb = zx.bboxes[z]
+                    # envelope → pixel window with the reference's rule
+                    x1, y1, xs, ys, have = pixelmath.zonal_window(
+                        [zb[0]], [zb[2]], [zb[1]], [zb[3]],
+                        rec.minx, maxy, pixel_size, pixel_size, w, h,
+                    )
+                    if not have[0]:
+                        continue
+                    x1_, y1_, xs_, ys_ = int(x1[0]), int(y1[0]), int(xs[0]), int(ys[0])
+                    sub = img[y1_ : y1_ + ys_, x1_ : x1_ + xs_]
+                    # pixel centers of the window
+                    pcx = rec.minx + (np.arange(x1_, x1_ + xs_) + 0.5) * pixel_size
+                    pcy = maxy - (np.arange(y1_, y1_ + ys_) + 0.5) * pixel_size
+                    gx, gy = np.meshgrid(pcx, pcy)
+                    mask = zx_points_in(rings, gx.ravel(), gy.ravel()).reshape(sub.shape)
+                    vals = sub[mask]
+                    if no_data_val is not None:
+                        vals = vals[vals != no_data_val]
+                    vals = vals[(vals >= min_thres) & (vals <= max_thres)]
+                    if vals.size == 0:
+                        continue
+                    zid = int(zx.zone_ids[z])
+                    a = acc.get(zid)
+                    stat = (
+                        vals.size, float(vals.sum()), float((vals * vals).sum()),
+                        float(vals.min()), float(vals.max()),
+                    )
+                    if a is None:
+                        acc[zid] = list(stat)
+                    else:
+                        a[0] += stat[0]
+                        a[1] += stat[1]
+                        a[2] += stat[2]
+                        a[3] = min(a[3], stat[3])
+                        a[4] = max(a[4], stat[4])
+            if acc:
+                zids = sorted(acc)
+                yield pd.DataFrame({
+                    "zone_id": np.array(zids, dtype=np.int64),
+                    "n": [acc[z][0] for z in zids],
+                    "s": [acc[z][1] for z in zids],
+                    "ss": [acc[z][2] for z in zids],
+                    "mn": [acc[z][3] for z in zids],
+                    "mx": [acc[z][4] for z in zids],
+                })
+
+    partials = src.mapInPandas(_partial, schema=_PARTIAL_SCHEMA)
+    return _finalize(partials)
+
+
+def zx_points_in(rings, px, py):
+    from rsgislib_spark.kernels.geom import points_in_polygon
+
+    return points_in_polygon(px, py, rings)

@@ -1,0 +1,294 @@
+"""Operator parity tests: tiler / zonal / point extraction / kNN vs
+independent numpy oracles over the deterministic fixtures."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rsgislib_spark import datagen
+from rsgislib_spark.kernels import codecs, geom, pixelmath
+from rsgislib_spark.operators.knn import closest_point_join, knn_apply, radius_count
+from rsgislib_spark.operators.point_extract import extract_point_values
+from rsgislib_spark.operators.tiler import tile_images, tile_manifest
+from rsgislib_spark.operators.zonal import segment_mode, segment_stats, zonal_band_stats
+
+
+@pytest.fixture(scope="module")
+def small_images_pdf():
+    return datagen.image_footprints(datagen.gen_images(24, seed=42))
+
+
+@pytest.fixture(scope="module")
+def images_df(spark, small_images_pdf):
+    return spark.createDataFrame(small_images_pdf).cache()
+
+
+# ------------------------------------------------------------------- tiler
+class TestTiler:
+    def test_tile_counts_and_roundtrip(self, spark, images_df, small_images_pdf):
+        tiles = tile_images(images_df, 64, 64, mode="simple").toPandas()
+        # oracle per image
+        for rec in small_images_pdf.itertuples(index=False):
+            wins = pixelmath.tile_windows_simple(rec.w, rec.h, 64, 64)
+            sub = tiles[tiles.image_id == rec.image_id]
+            assert len(sub) == len(wins), rec.image_id
+            # pixel roundtrip of one tile (tiles are raw, post-decode)
+            img = codecs.decode_image(rec.bytes, rec.fmt, rec.h, rec.w)
+            t0 = sub.iloc[0]
+            arr = np.frombuffer(t0.pixels, dtype=np.uint8).reshape(t0.th, t0.tw)
+            np.testing.assert_array_equal(
+                arr, img[t0.y0 : t0.y0 + t0.th, t0.x0 : t0.x0 + t0.tw]
+            )
+
+    def test_block_mode_full_size(self, spark, images_df):
+        tiles = tile_images(images_df, 64, 64, mode="block").toPandas()
+        assert (tiles.tw == 64).all() and (tiles.th == 64).all()
+
+    def test_overlap_mode(self, spark, images_df, small_images_pdf):
+        tiles = tile_images(images_df, 64, 64, mode="overlap", overlap=4).toPandas()
+        rec = small_images_pdf.iloc[0]
+        wins = pixelmath.tile_windows_overlap(rec.w, rec.h, 64, 64, 4)
+        sub = tiles[tiles.image_id == rec.image_id]
+        assert len(sub) == len(wins)
+
+    def test_cells_consistent_with_footprint(self, spark, images_df, small_images_pdf):
+        from rsgislib_spark.kernels import cells
+
+        tiles = tile_images(images_df, 64, 64).toPandas()
+        rec = small_images_pdf.iloc[0]
+        sub = tiles[tiles.image_id == rec.image_id].iloc[0]
+        maxy = rec.miny + rec.h * datagen.PIXEL_SIZE
+        cx = rec.minx + (sub.x0 + sub.tw / 2.0) * datagen.PIXEL_SIZE
+        cy = maxy - (sub.y0 + sub.th / 2.0) * datagen.PIXEL_SIZE
+        exp = cells.encode_point(np.array([cx]), np.array([cy]), 7)[0]
+        assert sub.cell == exp
+
+    def test_manifest(self, spark, images_df, small_images_pdf):
+        tiles = tile_images(images_df, 64, 64)
+        man = tile_manifest(tiles).toPandas()
+        assert len(man) == len(small_images_pdf)
+        rec = small_images_pdf.iloc[0]
+        exp_tiles = len(pixelmath.tile_windows_simple(rec.w, rec.h, 64, 64))
+        assert int(man[man.image_id == rec.image_id].n_tiles.iloc[0]) == exp_tiles
+
+
+# ------------------------------------------------------------------- zonal
+class TestZonal:
+    @pytest.fixture(scope="class")
+    def segs_pdf(self, small_images_pdf):
+        return datagen.gen_segments(small_images_pdf, seed=42)
+
+    def test_segment_stats_vs_numpy(self, spark, images_df, small_images_pdf, segs_pdf):
+        segs_df = spark.createDataFrame(segs_pdf)
+        got = segment_stats(images_df, segs_df).toPandas()
+        rec = small_images_pdf.iloc[3]
+        seg = segs_pdf[segs_pdf.image_id == rec.image_id].iloc[0]
+        img = codecs.decode_image(rec.bytes, rec.fmt, rec.h, rec.w).astype(float).ravel()
+        lab = np.frombuffer(seg.seg_bytes, dtype=np.int32)
+        sub = got[got.image_id == rec.image_id].set_index("zone").sort_index()
+        for z in range(seg.n_segments):
+            vals = img[lab == z]
+            if vals.size == 0:
+                assert z not in sub.index
+                continue
+            row = sub.loc[z]
+            assert row["count"] == vals.size
+            assert row["min"] == vals.min() and row["max"] == vals.max()
+            assert row["mean"] == pytest.approx(vals.mean())
+            assert row["sum"] == pytest.approx(vals.sum())
+            assert row["stddev"] == pytest.approx(vals.std(), abs=1e-9)
+
+    def test_segment_mode_vs_numpy(self, spark, images_df, small_images_pdf, segs_pdf):
+        segs_df = spark.createDataFrame(segs_pdf)
+        got = segment_mode(images_df, segs_df).toPandas()
+        rec = small_images_pdf.iloc[5]
+        seg = segs_pdf[segs_pdf.image_id == rec.image_id].iloc[0]
+        img = codecs.decode_image(rec.bytes, rec.fmt, rec.h, rec.w).ravel()
+        lab = np.frombuffer(seg.seg_bytes, dtype=np.int32)
+        sub = got[got.image_id == rec.image_id].set_index("zone")
+        for z in np.unique(lab):
+            vals = img[lab == z]
+            u, c = np.unique(vals, return_counts=True)
+            exp = u[np.argmax(c)]  # ties -> smallest (np.unique sorted)
+            assert sub.loc[z, "mode"] == exp
+
+    def test_zonal_band_stats_vs_numpy(self, spark, images_df, small_images_pdf, zones_pdf):
+        zones_df = spark.createDataFrame(zones_pdf)
+        got = zonal_band_stats(images_df, zones_df).toPandas().set_index("zone_id")
+
+        # oracle: loop all images × zones, pixel-center-in-polygon within the
+        # reference's envelope window (which clamps to size-1 and therefore
+        # EXCLUDES the last row/col when a polygon reaches the image edge —
+        # zonalstats/__init__.py:355-396; parity target, reproduced here)
+        acc = {}
+        for rec in small_images_pdf.itertuples(index=False):
+            img = codecs.decode_image(rec.bytes, rec.fmt, rec.h, rec.w).astype(float)
+            maxy = rec.miny + rec.h * datagen.PIXEL_SIZE
+            for z in zones_pdf.itertuples(index=False):
+                rings = geom.wkb_to_polygon(z.geometry)
+                x1, y1, xs, ys, have = pixelmath.zonal_window(
+                    [z.minx], [z.maxx], [z.miny], [z.maxy],
+                    rec.minx, maxy, datagen.PIXEL_SIZE, datagen.PIXEL_SIZE,
+                    rec.w, rec.h,
+                )
+                if not have[0]:
+                    continue
+                x1_, y1_, xs_, ys_ = int(x1[0]), int(y1[0]), int(xs[0]), int(ys[0])
+                sub = img[y1_ : y1_ + ys_, x1_ : x1_ + xs_]
+                pcx = rec.minx + (np.arange(x1_, x1_ + xs_) + 0.5) * datagen.PIXEL_SIZE
+                pcy = maxy - (np.arange(y1_, y1_ + ys_) + 0.5) * datagen.PIXEL_SIZE
+                gx, gy = np.meshgrid(pcx, pcy)
+                m = geom.points_in_polygon(gx.ravel(), gy.ravel(), rings)
+                vals = sub.ravel()[m]
+                if vals.size:
+                    acc.setdefault(z.zone_id, []).append(vals)
+        for zid, chunks in acc.items():
+            vals = np.concatenate(chunks)
+            row = got.loc[zid]
+            assert row["count"] == vals.size
+            assert row["mean"] == pytest.approx(vals.mean())
+            assert row["min"] == vals.min() and row["max"] == vals.max()
+        # zones with no pixels are absent (reference: no_data fill)
+        assert set(got.index) == set(acc.keys())
+
+    def test_zonal_threshold_rules(self, spark, images_df, small_images_pdf, zones_pdf):
+        zones_df = spark.createDataFrame(zones_pdf)
+        lo, hi = 100.0, 200.0
+        got = zonal_band_stats(images_df, zones_df, min_thres=lo, max_thres=hi).toPandas()
+        assert (got["min"] >= lo).all() and (got["max"] <= hi).all()
+
+
+# ---------------------------------------------------------------- points
+class TestPointExtract:
+    def test_values_vs_numpy(self, spark, images_df, small_images_pdf, points_pdf):
+        pts_df = spark.createDataFrame(points_pdf)
+        got = (
+            extract_point_values(images_df, pts_df, out_no_data_val=-9999.0)
+            .toPandas()
+            .set_index("pt_id")
+            .sort_index()
+        )
+        assert len(got) == len(points_pdf)
+        # oracle
+        import collections
+
+        best = collections.defaultdict(list)
+        for rec in small_images_pdf.itertuples(index=False):
+            img = codecs.decode_image(rec.bytes, rec.fmt, rec.h, rec.w)
+            maxy = rec.miny + rec.h * datagen.PIXEL_SIZE
+            maxx = rec.minx + rec.w * datagen.PIXEL_SIZE
+            for p in points_pdf.itertuples(index=False):
+                if rec.minx <= p.x <= maxx and rec.miny <= p.y <= maxy:
+                    ix = min(int((p.x - rec.minx) // datagen.PIXEL_SIZE), rec.w - 1)
+                    iy = min(int((maxy - p.y) // datagen.PIXEL_SIZE), rec.h - 1)
+                    best[p.pt_id].append((rec.image_id, float(img[iy, ix])))
+        for p in points_pdf.itertuples(index=False):
+            row = got.loc[p.pt_id]
+            if p.pt_id in best:
+                exp = sorted(best[p.pt_id])[0][1]  # first image_id wins
+                assert row["value"] == exp
+            else:
+                assert row["value"] == -9999.0
+
+    def test_threshold_to_nodata(self, spark, images_df, points_pdf):
+        pts_df = spark.createDataFrame(points_pdf)
+        got = extract_point_values(
+            images_df, pts_df, min_thres=120, max_thres=140, out_no_data_val=-1.0
+        ).toPandas()
+        ok = got[got.value != -1.0]
+        assert ((ok.value >= 120) & (ok.value <= 140)).all()
+
+
+# ------------------------------------------------------------------- knn
+class TestKNN:
+    def _brute(self, q, t, tv, k, metric, thres=np.inf, vi=None):
+        from rsgislib_spark.operators.knn import _distances
+
+        dm = _distances(q, t, metric, 2.0, vi)
+        out = []
+        for i in range(len(q)):
+            d = dm[i]
+            order = np.argsort(d, kind="stable")
+            sel = [j for j in order if d[j] < thres][:k]
+            out.append(sel)
+        return out, dm
+
+    @pytest.mark.parametrize("metric", ["euclidean", "manhattan", "chebyshev"])
+    def test_knn_apply_vs_brute(self, spark, points_pdf, metric):
+        train = points_pdf[points_pdf.is_train == 1]
+        apply_ = points_pdf[points_pdf.is_train == 0]
+        feat = ["feat_1", "feat_2", "feat_3"]
+        got = (
+            knn_apply(
+                spark.createDataFrame(apply_),
+                spark.createDataFrame(train),
+                feat, "feat_1", k=3, metric=metric, summary="mean",
+            )
+            .toPandas()
+            .set_index("pt_id")
+        )
+        q = apply_[feat].to_numpy(float)
+        t = train[feat].to_numpy(float)
+        tv = train["feat_1"].to_numpy(float)
+        sels, _ = self._brute(q, t, tv, 3, metric)
+        for i, pid in enumerate(apply_["pt_id"]):
+            assert got.loc[pid, "out_val"] == pytest.approx(tv[sels[i]].mean())
+
+    def test_knn_mahalanobis_and_threshold(self, spark, points_pdf):
+        train = points_pdf[points_pdf.is_train == 1]
+        apply_ = points_pdf[points_pdf.is_train == 0]
+        feat = ["feat_1", "feat_2", "feat_3"]
+        got = (
+            knn_apply(
+                spark.createDataFrame(apply_), spark.createDataFrame(train),
+                feat, "feat_2", k=12, metric="mahalanobis", summary="median",
+                dist_thres=1.0,
+            ).toPandas().set_index("pt_id")
+        )
+        t = train[feat].to_numpy(float)
+        vi = np.linalg.pinv(np.atleast_2d(np.cov(t, rowvar=False)))
+        q = apply_[feat].to_numpy(float)
+        tv = train["feat_2"].to_numpy(float)
+        sels, dm = self._brute(q, t, tv, 12, "mahalanobis", thres=1.0, vi=vi)
+        for i, pid in enumerate(apply_["pt_id"]):
+            if sels[i]:
+                assert got.loc[pid, "out_val"] == pytest.approx(np.median(tv[sels[i]]))
+            else:
+                assert np.isnan(got.loc[pid, "out_val"])
+
+    def test_closest_point_join(self, spark, points_pdf):
+        base = points_pdf.iloc[:50]
+        match = points_pdf.iloc[50:]
+        got = (
+            closest_point_join(
+                spark.createDataFrame(base), spark.createDataFrame(match)
+            ).toPandas().set_index("pt_id")
+        )
+        mx = match[["x", "y"]].to_numpy(float)
+        mid = match["pt_id"].to_numpy()
+        for p in base.itertuples(index=False):
+            d = np.hypot(mx[:, 0] - p.x, mx[:, 1] - p.y)
+            j = int(np.argmin(d))
+            assert got.loc[p.pt_id, "closest_id"] == mid[j]
+            assert got.loc[p.pt_id, "dist"] == pytest.approx(d[j])
+
+    def test_closest_point_tolerance(self, spark, points_pdf):
+        base = points_pdf.iloc[:20]
+        match = points_pdf.iloc[50:]
+        got = closest_point_join(
+            spark.createDataFrame(base), spark.createDataFrame(match), tolerance=1000.0
+        ).toPandas()
+        far = got[got.closest_id.isna()]
+        near = got[~got.closest_id.isna()]
+        assert (near.dist < 1000.0).all()
+        assert far.dist.isna().all()
+
+    def test_radius_count_vs_brute(self, spark, points_pdf):
+        r = 50000.0
+        got = radius_count(spark.createDataFrame(points_pdf), r).toPandas().set_index("pt_id")
+        xs = points_pdf["x"].to_numpy(float)
+        ys = points_pdf["y"].to_numpy(float)
+        d2 = (xs[:, None] - xs[None, :]) ** 2 + (ys[:, None] - ys[None, :]) ** 2
+        exp = (d2 <= r * r).sum(axis=1) - 1
+        for i, pid in enumerate(points_pdf["pt_id"]):
+            assert got.loc[pid, "n_in_radius"] == exp[i]
