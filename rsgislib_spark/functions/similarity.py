@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float>).
+
+ - :func:`cosine_topk_bruteforce` — exact top-k, pure Catalyst
+   (``aggregate``/``zip_with`` dot products; no UDF): the correctness
+   baseline. O(Q×N) — fine when the query side is small/broadcast.
+ - :func:`lsh_bucketed_topk` — sign-LSH (random-hyperplane family, but
+   hyperplanes = deterministic reference vectors so results are
+   reproducible and oracle-checkable): bucket both sides by the sign
+   pattern, search within bucket only — the scale path; recall<1 by
+   design, like any ANN.
+ - :func:`ivf_topk` — IVF-style: k-means-lite centroids (sampled seed
+   vectors), assign each vector to nearest centroid (coarse quantizer),
+   probe ``nprobe`` nearest centroids per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def with_cosine(df: DataFrame, a_col: str, b_col: str, out: str = "cos") -> DataFrame:
+    a, b = F.col(a_col), F.col(b_col)
+    return df.withColumn(out, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def cosine_topk_bruteforce(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbours per query (query side broadcast).
+
+    Ranking is on the ROUNDED cosine with id tie-break, so results are
+    stable across float summation orders (and across engines).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("v_vec"))
+    crossed = v.crossJoin(F.broadcast(q)).filter(F.col("query_id") != F.col("nbr_id"))
+    scored = crossed.withColumn(
+        "cos", F.round(_dot(F.col("q_vec"), F.col("v_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("v_vec"))), round_digits)
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cos", "rank")
+    )
+
+
+def sign_bucket(df: DataFrame, ref_vectors: list, vec_col: str = "embedding",
+                out: str = "bucket") -> DataFrame:
+    """LSH bucket id = sign bits of dot(v, ref_i) — deterministic
+    hyperplane family from fixed reference vectors."""
+    bucket = F.lit(0)
+    for i, ref in enumerate(ref_vectors):
+        ref_arr = F.array(*[F.lit(float(x)) for x in ref])
+        bit = F.when(_dot(F.col(vec_col), ref_arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return df.withColumn(out, bucket)
+
+
+def lsh_bucketed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    ref_vectors: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: exact search restricted to the query's sign-LSH bucket."""
+    vb = sign_bucket(vectors, ref_vectors, vec_col).select(
+        F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("v_vec"), "bucket"
+    )
+    qb = sign_bucket(queries, ref_vectors, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    joined = vb.join(F.broadcast(qb), "bucket").filter(F.col("query_id") != F.col("nbr_id"))
+    scored = joined.withColumn(
+        "cos",
+        F.round(
+            _dot(F.col("q_vec"), F.col("v_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("v_vec"))),
+            4,
+        ),
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cos", "rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: centroids = the first ``n_centroids`` vectors by id
+    (deterministic coarse quantizer — a k-means seeding); every vector is
+    assigned to its nearest centroid; each query probes its ``nprobe``
+    nearest centroid lists."""
+    cents = vectors.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_vec")
+    )
+    v = vectors.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("v_vec"))
+    # assign vectors to nearest centroid (argmax cosine)
+    va = v.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", _dot(F.col("v_vec"), F.col("c_vec")) / (_norm(F.col("v_vec")) * _norm(F.col("c_vec")))
+    )
+    wv = W.partitionBy("nbr_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assigned = va.withColumn("rn", F.row_number().over(wv)).filter("rn = 1").select(
+        "nbr_id", "v_vec", "cent_id"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qa = q.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    probes = qa.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= nprobe
+    ).select("query_id", "q_vec", "cent_id")
+    joined = assigned.join(probes, "cent_id").filter(F.col("query_id") != F.col("nbr_id"))
+    scored = joined.withColumn(
+        "cos",
+        F.round(_dot(F.col("q_vec"), F.col("v_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("v_vec"))), 4),
+    )
+    win = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr_id", "cos", "rank")
+    )

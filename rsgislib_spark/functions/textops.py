@@ -1,0 +1,87 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+All pure Catalyst column expressions (JVM-side, codegen'd) — no Python in
+the hot path. Each has an ANSI-SQL equivalent (used by the DuckDB oracle
+in the driver's correctness gate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# small fixed stopword lists per candidate language for the n-gram/stopword
+# language-ID heuristic (classic public approach: argmax of stopword hits)
+LANG_MARKERS = {
+    "en": "(?:the|and|of|to|in)",
+    "es": "(?:el|la|de|que|y)",
+    "de": "(?:der|die|und|das|ist)",
+}
+
+STOPWORDS_EN = "(?:the|a|an|and|or|of|to|in|is|it)"
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokens, empty-safe: filter('' != x) over split."""
+    return F.size(F.filter(F.split(text, " "), lambda x: x != F.lit("")))
+
+
+def punct_ratio(text: Column) -> Column:
+    """punctuation chars / total chars (0 for empty strings)."""
+    total = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    return F.when(total > 0, punct.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column, pattern: str = STOPWORDS_EN) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(rf"\b{pattern}\b"), F.lit(0)))
+
+
+def quality_score_cols(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """length/punct/stopword quality features (public heuristics family:
+    Gopher/C4-style quality rules)."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_m", F.length(t))
+        .withColumn("punct_ratio", F.round(punct_ratio(t), 6))
+        .withColumn("stopword_cnt", stopword_count(t))
+        .withColumn(
+            "mean_tok_len",
+            F.round(
+                F.when(n_tok > 0, F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / n_tok)
+                .otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: argmax of per-language marker hits, ties →
+    lexicographically smallest language code, no hits → 'und'."""
+    t = F.lower(F.col(text_col))
+    hits = [
+        F.size(F.regexp_extract_all(t, F.lit(rf"\b{pat}\b"), F.lit(0))).alias(f"hits_{lang}")
+        for lang, pat in sorted(LANG_MARKERS.items())
+    ]
+    out = df.select("*", *hits)
+    best = None
+    langs = sorted(LANG_MARKERS)
+    # deterministic argmax: strictly-greater beats, ties keep earlier (sorted) lang
+    pred = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:
+        h = F.col(f"hits_{lang}")
+        pred = F.when(h > best_hits, F.lit(lang)).otherwise(pred)
+        best_hits = F.when(h > best_hits, h).otherwise(best_hits)
+    return out.withColumn("pred_lang", pred)
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized document fingerprint: lower → collapse whitespace →
+    strip punctuation → md5 (identical ANSI construction on oracle side)."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"[.,;:!?]", ""), r"\s+", " "
+    )
+    return F.md5(F.trim(norm))

@@ -199,92 +199,121 @@ def _rect_edges(rect):
     return xs0, ys0, xs1, ys1
 
 
+def _ring_edges(rings):
+    """Concatenated edge arrays (x0, y0, x1, y1) over all rings."""
+    xs0, ys0, xs1, ys1 = [], [], [], []
+    for ring in rings:
+        rr = np.asarray(ring, dtype=np.float64)
+        xs0.append(rr[:, 0])
+        ys0.append(rr[:, 1])
+        xs1.append(np.roll(rr[:, 0], -1))
+        ys1.append(np.roll(rr[:, 1], -1))
+    return (np.concatenate(xs0), np.concatenate(ys0),
+            np.concatenate(xs1), np.concatenate(ys1))
+
+
+def _rect_edges_batch(R: np.ndarray):
+    """All 4 edges of each rect in R (m,4) → arrays of length 4m, grouped
+    edge-major (edge k of every rect contiguous) for easy reshape."""
+    minx, miny, maxx, maxy = R[:, 0], R[:, 1], R[:, 2], R[:, 3]
+    x0 = np.concatenate([minx, maxx, maxx, minx])
+    y0 = np.concatenate([miny, miny, maxy, maxy])
+    x1 = np.concatenate([maxx, maxx, minx, minx])
+    y1 = np.concatenate([miny, maxy, maxy, miny])
+    return x0, y0, x1, y1
+
+
+_EDGE_CHUNK = 1024  # rects per segment-test chunk (bounds the (4c,E) matrix)
+
+
 def rect_intersects_polygon(rects: np.ndarray, rings) -> np.ndarray:
     """shapely-``intersects`` semantics between axis-aligned rects (n,4)
-    and one polygon: true if boundaries touch/cross or either contains
-    the other."""
+    and one polygon: true if boundaries touch/cross or either contains the
+    other. Fully vectorized (no per-rect Python loop — north-rule hot path)."""
     rects = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
     n = len(rects)
     out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
     pbox = polygon_bbox(rings)
     cand = bbox_intersects(rects, pbox[None, :])[:, 0]
     if not cand.any():
         return out
     idx = np.nonzero(cand)[0]
+    R = rects[idx]
     shell = np.asarray(rings[0], dtype=np.float64)
-    # polygon vertex inside rect?
-    for i in idx:
-        r = rects[i]
-        verts_in = (
-            (shell[:, 0] >= r[0])
-            & (shell[:, 0] <= r[2])
-            & (shell[:, 1] >= r[1])
-            & (shell[:, 1] <= r[3])
-        ).any()
-        if verts_in:
-            out[i] = True
-            continue
-        # rect corner inside polygon?
-        cx = np.array([r[0], r[2], r[2], r[0]])
-        cy = np.array([r[1], r[1], r[3], r[3]])
-        if points_in_polygon(cx, cy, rings).any():
-            out[i] = True
-            continue
-        # edge crossings (shell or holes)
-        rx0, ry0, rx1, ry1 = _rect_edges(r)
-        hit = False
-        for ring in rings:
-            rr = np.asarray(ring, dtype=np.float64)
-            ex0, ey0 = rr[:, 0], rr[:, 1]
-            ex1, ey1 = np.roll(ex0, -1), np.roll(ey0, -1)
-            if _seg_intersect_any(rx0, ry0, rx1, ry1, ex0, ey0, ex1, ey1).any():
-                hit = True
-                break
-        out[i] = hit
+    # 1) any shell vertex inside rect (m, V) -> any
+    res = (
+        (shell[None, :, 0] >= R[:, 0, None])
+        & (shell[None, :, 0] <= R[:, 2, None])
+        & (shell[None, :, 1] >= R[:, 1, None])
+        & (shell[None, :, 1] <= R[:, 3, None])
+    ).any(axis=1)
+    # 2) any rect corner inside polygon (4m point test, one ray-cast call)
+    rem = ~res
+    if rem.any():
+        RR = R[rem]
+        cx = np.concatenate([RR[:, 0], RR[:, 2], RR[:, 2], RR[:, 0]])
+        cy = np.concatenate([RR[:, 1], RR[:, 1], RR[:, 3], RR[:, 3]])
+        pin = points_in_polygon(cx, cy, rings).reshape(4, -1).any(axis=0)
+        res[np.nonzero(rem)[0]] |= pin
+    # 3) edge crossings, chunked (4c rect edges × E ring edges)
+    rem = ~res
+    if rem.any():
+        ex0, ey0, ex1, ey1 = _ring_edges(rings)
+        rem_idx = np.nonzero(rem)[0]
+        for s in range(0, len(rem_idx), _EDGE_CHUNK):
+            ci = rem_idx[s : s + _EDGE_CHUNK]
+            rx0, ry0, rx1, ry1 = _rect_edges_batch(R[ci])
+            hit = _seg_intersect_any(rx0, ry0, rx1, ry1, ex0, ey0, ex1, ey1)
+            res[ci] |= hit.any(axis=1).reshape(4, -1).any(axis=0)
+    out[idx] = res
     return out
 
 
 def rect_within_polygon(rects: np.ndarray, rings) -> np.ndarray:
     """rect ⊆ polygon (shapely ``within``): all 4 corners inside (or on
-    boundary) and no polygon edge properly crossing the rect interior."""
+    boundary) and no polygon edge entering the rect interior.
+    Fully vectorized (no per-rect Python loop)."""
     rects = np.asarray(rects, dtype=np.float64).reshape(-1, 4)
     n = len(rects)
     out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
     pbox = polygon_bbox(rings)
     cand = bbox_contains(pbox[None, :], rects)[0]
-    for i in np.nonzero(cand)[0]:
-        r = rects[i]
-        cx = np.array([r[0], r[2], r[2], r[0]])
-        cy = np.array([r[1], r[1], r[3], r[3]])
-        if not points_in_polygon(cx, cy, rings).all():
-            continue
-        # no ring edge may enter the open interior of the rect
-        eps = 0.0
-        inner = (r[0] + eps, r[1] + eps, r[2] - eps, r[3] - eps)
-        crossed = False
-        for ring in rings:
-            rr = np.asarray(ring, dtype=np.float64)
-            ex0, ey0 = rr[:, 0], rr[:, 1]
-            ex1, ey1 = np.roll(ex0, -1), np.roll(ey0, -1)
-            # an edge with any point strictly inside the rect breaks 'within'
-            mid_in = (
-                ((ex0 + ex1) / 2 > inner[0])
-                & ((ex0 + ex1) / 2 < inner[2])
-                & ((ey0 + ey1) / 2 > inner[1])
-                & ((ey0 + ey1) / 2 < inner[3])
-            )
-            if mid_in.any():
-                crossed = True
-                break
-            rx0, ry0, rx1, ry1 = _rect_edges(r)
-            d = _seg_intersect_any(rx0, ry0, rx1, ry1, ex0, ey0, ex1, ey1)
-            # touching the boundary is allowed for 'within'; proper crossing not.
-            # re-run proper-only test:
-            if _seg_proper_cross(rx0, ry0, rx1, ry1, ex0, ey0, ex1, ey1).any():
-                crossed = True
-                break
-            del d
-        out[i] = not crossed
+    if not cand.any():
+        return out
+    idx = np.nonzero(cand)[0]
+    R = rects[idx]
+    # 1) all 4 corners inside the polygon
+    cx = np.concatenate([R[:, 0], R[:, 2], R[:, 2], R[:, 0]])
+    cy = np.concatenate([R[:, 1], R[:, 1], R[:, 3], R[:, 3]])
+    corners_in = points_in_polygon(cx, cy, rings).reshape(4, -1).all(axis=0)
+    res = corners_in.copy()
+    if res.any():
+        live = np.nonzero(res)[0]
+        ex0, ey0, ex1, ey1 = _ring_edges(rings)
+        mx = (ex0 + ex1) / 2.0
+        my = (ey0 + ey1) / 2.0
+        # 2) no ring-edge midpoint strictly inside the rect (catches holes
+        #    fully inside the rect without edge/edge intersections)
+        RL = R[live]
+        mid_in = (
+            (mx[None, :] > RL[:, 0, None])
+            & (mx[None, :] < RL[:, 2, None])
+            & (my[None, :] > RL[:, 1, None])
+            & (my[None, :] < RL[:, 3, None])
+        ).any(axis=1)
+        res[live[mid_in]] = False
+        # 3) no proper edge crossing (chunked)
+        live = np.nonzero(res)[0]
+        for s in range(0, len(live), _EDGE_CHUNK):
+            ci = live[s : s + _EDGE_CHUNK]
+            rx0, ry0, rx1, ry1 = _rect_edges_batch(R[ci])
+            crossed = _seg_proper_cross(rx0, ry0, rx1, ry1, ex0, ey0, ex1, ey1)
+            res[ci] &= ~crossed.any(axis=1).reshape(4, -1).any(axis=0)
+    out[idx] = res
     return out
 
 

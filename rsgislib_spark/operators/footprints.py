@@ -52,7 +52,8 @@ def explode_footprint_cells(images: DataFrame, res: int = DEFAULT_RES,
     the wide ``bytes`` payload never enters this shuffle.
     """
     slim = images.select(id_col, "minx", "miny", "maxx", "maxy")
-    out_schema = f"{id_col} string, minx double, miny double, maxx double, maxy double, cell long"
+    id_type = dict(images.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, minx double, miny double, maxx double, maxy double, cell long"
 
     def _cover(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

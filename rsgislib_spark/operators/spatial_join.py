@@ -77,7 +77,8 @@ class ZoneIndex:
 def _pairs_df(images: DataFrame, zindex_b, join_op: str, id_col: str) -> DataFrame:
     """Inner pair list (id_col, zone_id) via broadcast index, no shuffle."""
     slim = images.select(id_col, "minx", "miny", "maxx", "maxy")
-    schema = f"{id_col} string, zone_id long"
+    id_type = dict(images.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, zone_id long"
 
     def _match(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         zx: ZoneIndex = zindex_b.value
@@ -169,7 +170,8 @@ def spatial_join_cells(
         id_col, "zone_id", "minx", "miny", "maxx", "maxy"
     ).dropDuplicates([id_col, "zone_id"])
 
-    schema = f"{id_col} string, zone_id long"
+    id_type = dict(images.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, zone_id long"
 
     def _refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         zx: ZoneIndex = zindex_b.value
