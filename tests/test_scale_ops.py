@@ -1,0 +1,123 @@
+"""Salting, manifest-resume, lineage verify, incremental streaming."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rsgislib_spark.operators import manifest, salting
+
+
+@pytest.fixture()
+def skewed_df(spark):
+    # 5000 rows, 80% in one hot cell
+    n = 5000
+    ids = np.arange(n)
+    cells = np.where(ids % 5 != 0, 7777, ids % 50)
+    pdf = pd.DataFrame({"row_id": ids, "cell": cells.astype(np.int64), "val": ids * 2})
+    return spark.createDataFrame(pdf)
+
+
+@pytest.fixture()
+def small_side(spark):
+    pdf = pd.DataFrame({"cell": np.arange(0, 8000, dtype=np.int64), "attr": np.arange(8000) % 9})
+    return spark.createDataFrame(pdf)
+
+
+class TestSalting:
+    def test_find_hot_cells(self, spark, skewed_df):
+        hot = salting.find_hot_cells(skewed_df, hot_threshold=1000).toPandas()
+        assert hot.cell.tolist() == [7777]
+
+    def test_salted_join_equals_plain_join(self, spark, skewed_df, small_side):
+        plain = skewed_df.join(small_side, "cell").select("row_id", "attr")
+        salted = salting.salted_cell_join(
+            skewed_df, small_side, big_id="row_id", n_salts=4, hot_threshold=1000
+        ).select("row_id", "attr")
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b
+
+    def test_salt_determinism(self, spark, skewed_df):
+        hot = salting.find_hot_cells(skewed_df, hot_threshold=1000)
+        s1 = salting.with_salt(skewed_df, hot, "row_id", n_salts=4).select("row_id", "salt")
+        s2 = salting.with_salt(skewed_df, hot, "row_id", n_salts=4).select("row_id", "salt")
+        assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+        # hot rows spread over all salts; cold rows salt 0
+        pdf = salting.with_salt(skewed_df, hot, "row_id", n_salts=4).toPandas()
+        assert set(pdf[pdf.cell == 7777].salt) == {0, 1, 2, 3}
+        assert set(pdf[pdf.cell != 7777].salt) == {0}
+
+
+class TestManifest:
+    def test_resumable_write_and_verify(self, spark, skewed_df, tmp_path):
+        out = str(tmp_path / "out")
+        r1 = manifest.resumable_write(skewed_df, out, "row_id", n_buckets=8)
+        assert len(r1["written"]) == 8 and not r1["skipped"]
+        # all rows present exactly once
+        back = spark.read.option("basePath", out).parquet(
+            *[f"{out}/bucket={b}" for b in range(8)]
+        )
+        assert back.count() == 5000
+        assert back.select("row_id").distinct().count() == 5000
+        # lineage verifies
+        v = manifest.verify_against_manifest(spark, out, "row_id").toPandas()
+        assert v.ok.all() and len(v) == 8
+
+    def test_resume_skips_completed(self, spark, skewed_df, tmp_path):
+        out = str(tmp_path / "out2")
+        # simulate partial run: write only buckets 0-2 by truncating loop
+        full = manifest.resumable_write(skewed_df, out, "row_id", n_buckets=4)
+        assert len(full["written"]) == 4
+        r2 = manifest.resumable_write(skewed_df, out, "row_id", n_buckets=4)
+        assert r2["written"] == [] and len(r2["skipped"]) == 4
+
+    def test_tamper_detection(self, spark, skewed_df, tmp_path):
+        out = str(tmp_path / "out3")
+        manifest.resumable_write(skewed_df, out, "row_id", n_buckets=4)
+        # tamper: delete one bucket's files
+        import shutil
+
+        shutil.rmtree(f"{out}/bucket=2")
+        os.makedirs(f"{out}/bucket=2")
+        spark.createDataFrame(pd.DataFrame({"row_id": [1], "cell": [0], "val": [0]})).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/bucket=2")
+        v = manifest.verify_against_manifest(spark, out, "row_id").toPandas()
+        assert not v[v.bucket == 2].ok.iloc[0]
+        assert v[v.bucket != 2].ok.all()
+
+
+class TestIncrementalStreaming:
+    def test_availablenow_resume(self, spark, tmp_path):
+        from rsgislib_spark.streaming.incremental import incremental_event_counts
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "sink")
+        ck = str(tmp_path / "ck")
+        ev1 = pd.DataFrame(
+            {
+                "event_id": np.arange(100, dtype=np.int64),
+                "ts": pd.Timestamp("2026-01-01 10:00:00"),
+                "user_id": np.arange(100, dtype=np.int64) % 7,
+                "event_type": ["click"] * 100,
+                "value": np.ones(100),
+                "props": ["{}"] * 100,
+            }
+        )
+        spark.createDataFrame(ev1).write.mode("append").parquet(src)
+        incremental_event_counts(spark, src, out, ck)
+        n1 = spark.read.parquet(out).count()
+        assert n1 == 100
+        # re-run with no new data: nothing added
+        incremental_event_counts(spark, src, out, ck)
+        assert spark.read.parquet(out).count() == n1
+        # new file lands: only increment processed
+        ev2 = ev1.assign(event_id=ev1.event_id + 1000, event_type="view")
+        spark.createDataFrame(ev2).write.mode("append").parquet(src)
+        incremental_event_counts(spark, src, out, ck)
+        out_df = spark.read.parquet(out)
+        assert out_df.count() == 200
+        assert out_df.filter("event_type = 'view'").count() == 100
