@@ -1097,3 +1097,10 @@ ORACLES = {
     "q50_event_hour_windows": ORACLE_Q50,
     # q37_simhash, q41_ann_lsh, q42_ann_ivf: rows-only (non-ANSI ops)
 }
+
+# Extension catalog (second coverage pass) — import at the bottom so
+# queries_ext can use the shared derivation helpers defined above.
+from rsgislib_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
+
+QUERIES.update(QUERIES_EXT)
+ORACLES.update(ORACLES_EXT)

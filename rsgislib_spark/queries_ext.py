@@ -1,0 +1,835 @@
+"""Extension query catalog — second coverage pass over SURVEY.md §2.
+
+Same contract as rsgislib_spark.queries: every entry has a Spark
+implementation through engine operators/kernels plus an ANSI-SQL DuckDB
+oracle (or is explicitly rows-only for non-SQL-expressible ops).
+
+Pixel-family parity trick: band values are *integer-lattice formulas* of
+(image_key, px, py) (kernels.bands.RED_FORMULA / NIR_FORMULA). The Spark
+side materializes real numpy rasters inside mapInPandas and reduces them
+with the engine's vectorized kernels; the oracle recomputes the identical
+formula relationally (LATERAL generate_series). All cross-engine
+comparisons are integer sums or ratios-of-integer-sums, so they hash
+bit-for-bit — no float accumulation-order hazards.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from rsgislib_spark.queries import (
+    CELL,
+    GRID_DIM,
+    _cte,
+    _geo_images,
+    _geo_points,
+    _geo_zones,
+    load_views,
+)
+
+# ---------------------------------------------------------------- sorts
+
+def q09_sorted_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column sort + limit (sort_vec_lyr,
+    vectorattrs/__init__.py:828-880; LIMIT free via Catalyst TakeOrdered —
+    no global sort materialized)."""
+    load_views(spark, sf_dir)
+    return (
+        spark.table("orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+ORACLE_Q09 = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+"""
+
+
+# ------------------------------------------------------------- pixel family
+
+PX_SUBSET = 101  # image_key % PX_SUBSET = 0 → ~20 images at sf0.01
+
+PIXELS_CTE = f"""
+pixels AS (
+  SELECT image_key, w, h, gx.px AS px, gy.py AS py,
+         (image_key * 7 + gx.px * 13 + gy.py * 17) % 251 AS red,
+         (image_key * 11 + gx.px * 5 + gy.py * 3) % 241 AS nir
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {PX_SUBSET} = 0
+)
+"""
+
+
+def _px_images(spark: SparkSession) -> DataFrame:
+    return _geo_images(spark).filter(F.col("image_key") % PX_SUBSET == 0)
+
+
+def q23_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global per-image band stats (get_img_band_stats /
+    populate_rat_with_stats family) via the vectorized band kernel —
+    whole-band numpy reduce per image inside mapInPandas."""
+    from rsgislib_spark.kernels import bands as BK
+
+    load_views(spark, sf_dir)
+    gi = _px_images(spark).select("image_key", "w", "h")
+
+    def _stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                g = BK.synth_band_grid(int(rec.image_key), int(rec.w), int(rec.h), "red")
+                s = BK.band_stats(g)
+                rows.append((int(rec.image_key), s["n_px"], s["sum_v"], s["min_v"], s["max_v"]))
+            yield pd.DataFrame(rows, columns=["image_key", "n_px", "sum_v", "min_v", "max_v"])
+
+    out = gi.mapInPandas(
+        _stats, schema="image_key long, n_px long, sum_v long, min_v long, max_v long"
+    )
+    return out.withColumn("avg_v", F.round(F.col("sum_v") / F.col("n_px"), 6))
+
+
+ORACLE_Q23 = _cte(f""", {PIXELS_CTE}
+SELECT image_key, COUNT(*) AS n_px, CAST(SUM(red) AS BIGINT) AS sum_v,
+       CAST(MIN(red) AS BIGINT) AS min_v, CAST(MAX(red) AS BIGINT) AS max_v,
+       ROUND(CAST(SUM(red) AS DOUBLE) / COUNT(*), 6) AS avg_v
+FROM pixels GROUP BY image_key
+""")
+
+
+def q24_ndvi_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-index band math (calc_ndvi, calcindices.py:41-88) —
+    two synthesized bands, ratio-of-integer-sums NDVI + greener-pixel
+    count, per image. No per-row Python: full-raster numpy inside the UDF."""
+    from rsgislib_spark.kernels import bands as BK
+
+    load_views(spark, sf_dir)
+    gi = _px_images(spark).select("image_key", "w", "h")
+
+    def _ndvi(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                red = BK.synth_band_grid(k, w, h, "red")
+                nir = BK.synth_band_grid(k, w, h, "nir")
+                rows.append(
+                    (
+                        k,
+                        int((nir - red).sum()),
+                        int((nir + red).sum()),
+                        int((nir > red).sum()),
+                        int(red.size),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_key", "sum_diff", "sum_tot", "n_green", "n_px"]
+            )
+
+    out = gi.mapInPandas(
+        _ndvi,
+        schema="image_key long, sum_diff long, sum_tot long, n_green long, n_px long",
+    )
+    return out.withColumn(
+        "bulk_ndvi", F.round(F.col("sum_diff") / F.col("sum_tot"), 6)
+    )
+
+
+ORACLE_Q24 = _cte(f""", {PIXELS_CTE}
+SELECT image_key,
+       CAST(SUM(nir - red) AS BIGINT) AS sum_diff,
+       CAST(SUM(nir + red) AS BIGINT) AS sum_tot,
+       CAST(COUNT(*) FILTER (nir > red) AS BIGINT) AS n_green,
+       COUNT(*) AS n_px,
+       ROUND(CAST(SUM(nir - red) AS DOUBLE) / SUM(nir + red), 6) AS bulk_ndvi
+FROM pixels GROUP BY image_key
+""")
+
+
+FOCAL_SUBSET = 401  # ~5 images
+
+
+def q25_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3×3 focal mean (apply_mean_filter, imagefilter/__init__.py:37-980)
+    via the halo-tile operator; integer-exact (sum, count) accumulators.
+    Oracle = sum over all in-bounds (pixel, neighbour) pairs."""
+    from rsgislib_spark.operators.focal import focal_stats_tiled
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)
+    out = focal_stats_tiled(gi, "sum_count", radius=1, tile=128)
+    return out.withColumn(
+        "mean_focal_mean", F.round(F.col("sum_focal_sum") / F.col("sum_focal_cnt"), 6)
+    )
+
+
+ORACLE_Q25 = _cte(f""",
+px_small AS (
+  SELECT image_key, w, h, gx.px AS px, gy.py AS py
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+), offs AS (
+  SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
+), nbr AS (
+  SELECT p.image_key, p.w * p.h AS n_px,
+         (p.image_key * 7 + (p.px + o.dx) * 13 + (p.py + o.dy) * 17) % 251 AS v
+  FROM px_small p CROSS JOIN offs o
+  WHERE p.px + o.dx >= 0 AND p.px + o.dx < p.w
+    AND p.py + o.dy >= 0 AND p.py + o.dy < p.h
+)
+SELECT image_key, CAST(MIN(n_px) AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS sum_focal_sum,
+       COUNT(*) AS sum_focal_cnt,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_focal_mean
+FROM nbr GROUP BY image_key
+""")
+
+
+def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
+    whose rectangles intersect, each unordered pair once. Broadcast
+    range self-join — zone side is small by design."""
+    load_views(spark, sf_dir)
+    z = _geo_zones(spark).select("zone_id", "minx", "miny", "maxx", "maxy")
+    a, b = z.alias("a"), F.broadcast(z.alias("b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.zone_id") < F.col("b.zone_id"))
+            & (F.col("a.minx") <= F.col("b.maxx")) & (F.col("a.maxx") >= F.col("b.minx"))
+            & (F.col("a.miny") <= F.col("b.maxy")) & (F.col("a.maxy") >= F.col("b.miny")),
+        )
+        .select(F.col("a.zone_id").alias("zone_a"), F.col("b.zone_id").alias("zone_b"))
+    )
+
+
+ORACLE_Q26 = _cte("""
+SELECT a.zone_id AS zone_a, b.zone_id AS zone_b
+FROM geo_zones a JOIN geo_zones b
+ON a.zone_id < b.zone_id
+AND a.minx <= b.maxx AND a.maxx >= b.minx
+AND a.miny <= b.maxy AND a.maxy >= b.miny
+""")
+
+
+def q27_meanlit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-lit conditional stats (populate_rat_with_meanlit_stats,
+    rastergis.cpp:2028-2062): group mean first pass, join back, aggregate
+    only rows above their group mean."""
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    means = li.groupBy("l_returnflag").agg(F.avg("l_quantity").alias("grp_mean"))
+    return (
+        li.join(F.broadcast(means), "l_returnflag")
+        .filter(F.col("l_quantity") > F.col("grp_mean"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_above"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_above"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_above"),
+            F.min("l_quantity").alias("min_above"),
+        )
+    )
+
+
+ORACLE_Q27 = """
+WITH m AS (SELECT l_returnflag, AVG(l_quantity) AS grp_mean FROM lineitem GROUP BY 1)
+SELECT l.l_returnflag, COUNT(*) AS n_above,
+       ROUND(SUM(l_quantity), 2) AS sum_above,
+       ROUND(AVG(l_quantity), 6) AS avg_above,
+       MIN(l_quantity) AS min_above
+FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+WHERE l.l_quantity > m.grp_mean
+GROUP BY l.l_returnflag
+"""
+
+
+def q28_stratum_location_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clumps_spatial_location + clumps_spatial_extent
+    (rastergis.cpp:1692-1739): per-stratum centroid (coordinate means)
+    and min/max bbox."""
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark).withColumn("stratum", (F.col("pt_id") % 5).cast("long"))
+    return pts.groupBy("stratum").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("x"), 6).alias("cx"),
+        F.round(F.avg("y"), 6).alias("cy"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
+
+
+ORACLE_Q28 = _cte("""
+SELECT pt_id % 5 AS stratum, COUNT(*) AS n,
+       ROUND(AVG(x), 6) AS cx, ROUND(AVG(y), 6) AS cy,
+       MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+FROM geo_points GROUP BY 1
+""")
+
+
+def q29_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation — free via Catalyst (SURVEY §2.4 notes the
+    reference lacks grouping sets entirely)."""
+    load_views(spark, sf_dir)
+    c = spark.table("customer")
+    n = spark.table("nation")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+        .select(
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("segment"),
+            "n_cust", "sum_bal",
+        )
+    )
+
+
+ORACLE_Q29 = """
+SELECT COALESCE(n_name, '<all>') AS nation,
+       COALESCE(c_mktsegment, '<all>') AS segment,
+       COUNT(*) AS n_cust, ROUND(SUM(c_acctbal), 2) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+
+# ----------------------------------------------------------- dedup / embed
+
+def q38_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — JVM-side dot product via
+    F.aggregate/zip_with (no Python UDF in the pair loop; at scale the
+    pair generation is LSH-bucketed, functions.similarity)."""
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot / (nrm(F.col("va")) * nrm(F.col("vb"))), 4))
+        .filter(F.col("cos") >= 0.35)
+        .select("id_a", "id_b", "cos")
+    )
+    return pairs
+
+
+ORACLE_Q38 = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.35
+"""
+
+
+# ------------------------------------------------------------- sampling
+
+def q43_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic sampling (take_random_sample family, SURVEY
+    §2.6) — sample is a pure function of the row key, so it is stable
+    across partitioning, retries, and cluster size (seeded RNG is not)."""
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit("#"), F.col("l_linenumber").cast("string")
+    )
+    sampled = li.filter(F.substring(F.md5(key), 1, 1).isin("0", "1", "2", "3"))
+    return sampled.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+ORACLE_Q43 = """
+SELECT l_returnflag, COUNT(*) AS n_sampled, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)), 1, 1)
+      IN ('0', '1', '2', '3')
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------- set ops
+
+def q44_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION cardinalities (vector merge/difference
+    family, SURVEY §2.7) — distinct set semantics both engines."""
+    load_views(spark, sf_dir)
+    a = spark.table("customer").filter("c_mktsegment = 'BUILDING'").select("c_custkey")
+    b = (
+        spark.table("orders").filter("o_totalprice > 150000").select(
+            F.col("o_custkey").alias("c_custkey")
+        ).distinct()
+    )
+    rows = [
+        ("intersect", a.intersect(b).count()),
+        ("a_except_b", a.subtract(b).count()),
+        ("union", a.union(b).distinct().count()),
+    ]
+    return spark.createDataFrame(rows, "op string, n long")
+
+
+ORACLE_Q44 = """
+WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000)
+SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'a_except_b', COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT 'union', COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)
+"""
+
+
+# ---------------------------------------------------- comparison metrics
+
+def q45_band_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calculate_img_band_rmse + PSNR parity metric (imagecalc.cpp:2030;
+    are_imgs_equal philosophy) between the red and nir synthetic bands —
+    integer SSD accumulated by the numpy kernel."""
+    from rsgislib_spark.kernels import bands as BK
+
+    load_views(spark, sf_dir)
+    gi = _px_images(spark).select("image_key", "w", "h")
+
+    def _ssd(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                red = BK.synth_band_grid(k, w, h, "red")
+                nir = BK.synth_band_grid(k, w, h, "nir")
+                rows.append((k, w * h, BK.rmse_sq_sum(red, nir)))
+            yield pd.DataFrame(rows, columns=["image_key", "n_px", "ssd"])
+
+    out = gi.mapInPandas(_ssd, schema="image_key long, n_px long, ssd long")
+    mse = F.col("ssd") / F.col("n_px")
+    return out.select(
+        "image_key", "n_px", "ssd",
+        F.round(F.sqrt(mse), 6).alias("rmse"),
+        F.round(10.0 * F.log10(F.lit(255.0 * 255.0) / mse), 3).alias("psnr_db"),
+    )
+
+
+ORACLE_Q45 = _cte(f""", {PIXELS_CTE}
+SELECT image_key, COUNT(*) AS n_px,
+       CAST(SUM((red - nir) * (red - nir)) AS BIGINT) AS ssd,
+       ROUND(SQRT(CAST(SUM((red - nir) * (red - nir)) AS DOUBLE) / COUNT(*)), 6) AS rmse,
+       ROUND(10.0 * LOG10(255.0 * 255.0 / (CAST(SUM((red - nir) * (red - nir)) AS DOUBLE) / COUNT(*))), 3) AS psnr_db
+FROM pixels GROUP BY image_key
+""")
+
+
+def q46_prop_true_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calc_prop_true_exp (imagecalc.cpp:2223-2245): proportion of rows
+    where a boolean expression holds, per group."""
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    cond = (F.col("l_discount") > 0.05) & (F.col("l_quantity") < 25)
+    return li.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(cond.cast("int")).alias("n_true"),
+        F.round(F.avg(cond.cast("int")), 6).alias("prop_true"),
+    )
+
+
+ORACLE_Q46 = """
+SELECT l_linestatus, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN l_discount > 0.05 AND l_quantity < 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       ROUND(AVG(CASE WHEN l_discount > 0.05 AND l_quantity < 25 THEN 1 ELSE 0 END), 6) AS prop_true
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q47_unpack_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpack_pxl_vals (imageutils.cpp:2749-2760): bit-plane expansion of
+    a flags byte — shiftright + AND column expressions, fully codegen'd."""
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem")
+    flags = F.col("l_orderkey") % 256
+    aggs = [
+        F.sum(F.shiftright(flags, i).bitwiseAND(F.lit(1))).alias(f"bit{i}")
+        for i in range(8)
+    ]
+    return li.groupBy("l_returnflag").agg(F.count("*").alias("n"), *aggs)
+
+
+ORACLE_Q47 = """
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM((l_orderkey % 256 >> 0) & 1) AS BIGINT) AS bit0,
+       CAST(SUM((l_orderkey % 256 >> 1) & 1) AS BIGINT) AS bit1,
+       CAST(SUM((l_orderkey % 256 >> 2) & 1) AS BIGINT) AS bit2,
+       CAST(SUM((l_orderkey % 256 >> 3) & 1) AS BIGINT) AS bit3,
+       CAST(SUM((l_orderkey % 256 >> 4) & 1) AS BIGINT) AS bit4,
+       CAST(SUM((l_orderkey % 256 >> 5) & 1) AS BIGINT) AS bit5,
+       CAST(SUM((l_orderkey % 256 >> 6) & 1) AS BIGINT) AS bit6,
+       CAST(SUM((l_orderkey % 256 >> 7) & 1) AS BIGINT) AS bit7
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q48_stretch_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear stretch to 8-bit + histogram (stretch_img,
+    imageutils.cpp:1927-2035): two-pass — global min/max agg broadcast
+    back, then integer-cent arithmetic so binning is exact."""
+    load_views(spark, sf_dir)
+    li = spark.table("lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    mm = li.agg(F.min("cents").alias("minc"), F.max("cents").alias("maxc"))
+    j = li.crossJoin(F.broadcast(mm))
+    bin_ = F.floor(
+        (F.col("cents") - F.col("minc")) * 256.0 / (F.col("maxc") - F.col("minc") + 1)
+    ).cast("long")
+    return j.select(bin_.alias("bin")).groupBy("bin").agg(F.count("*").alias("cnt"))
+
+
+ORACLE_Q48 = """
+WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+     mm AS (SELECT MIN(cents) AS minc, MAX(cents) AS maxc FROM c)
+SELECT CAST(FLOOR((cents - minc) * 256.0 / (maxc - minc + 1)) AS BIGINT) AS bin,
+       COUNT(*) AS cnt
+FROM c CROSS JOIN mm GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------ as-of / time
+
+def q51_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (nearest-in-time predecessor — the reference's
+    gen_timeseries_fill_composite_img shape, imageutils.cpp:2706-2721):
+    for every purchase, the user's latest prior-or-same-time click.
+    Single-pass window with IGNORE NULLS — no range join, no shuffle
+    beyond one partition-by-user sort."""
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    win = (
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    out = (
+        ev.withColumn("last_click_id", F.last(click_id, ignorenulls=True).over(win))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id", "user_id",
+            F.coalesce("last_click_id", F.lit(-1)).alias("last_click_id"),
+        )
+    )
+    return out
+
+
+ORACLE_Q51 = """
+SELECT event_id, user_id, COALESCE(last_click_id, -1) AS last_click_id FROM (
+  SELECT event_id, user_id, event_type,
+         LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+  FROM events
+) t WHERE event_type = 'purchase'
+"""
+
+
+# ------------------------------------------------------------- covariance
+
+def q52_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix entries (the agg half of get_pca_eigen_vector,
+    imagecalc/__init__.py:594-647; SVD of the 3×3 result happens on the
+    driver). Manual moment formula over integer sums — cross-engine exact."""
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark)
+    sums = pts.agg(
+        F.count("*").alias("n"),
+        *[F.sum(c).cast("long").alias(f"s_{c}") for c in ("f1", "f2", "f3")],
+        *[
+            F.sum(F.col(a) * F.col(b)).cast("long").alias(f"s_{a}{b}")
+            for a, b in (("f1", "f1"), ("f1", "f2"), ("f1", "f3"), ("f2", "f2"), ("f2", "f3"), ("f3", "f3"))
+        ],
+    )
+    n = F.col("n").cast("double")
+
+    def cov(ab, a, b):
+        return F.round((F.col(f"s_{ab}") - F.col(f"s_{a}") * F.col(f"s_{b}") / n) / n, 6)
+
+    return sums.select(
+        "n",
+        cov("f1f1", "f1", "f1").alias("var_f1"),
+        cov("f2f2", "f2", "f2").alias("var_f2"),
+        cov("f3f3", "f3", "f3").alias("var_f3"),
+        cov("f1f2", "f1", "f2").alias("cov_f1f2"),
+        cov("f1f3", "f1", "f3").alias("cov_f1f3"),
+        cov("f2f3", "f2", "f3").alias("cov_f2f3"),
+    )
+
+
+ORACLE_Q52 = _cte("""
+, s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(f1) AS BIGINT) AS s_f1, CAST(SUM(f2) AS BIGINT) AS s_f2, CAST(SUM(f3) AS BIGINT) AS s_f3,
+         CAST(SUM(f1*f1) AS BIGINT) AS s_f1f1, CAST(SUM(f1*f2) AS BIGINT) AS s_f1f2,
+         CAST(SUM(f1*f3) AS BIGINT) AS s_f1f3, CAST(SUM(f2*f2) AS BIGINT) AS s_f2f2,
+         CAST(SUM(f2*f3) AS BIGINT) AS s_f2f3, CAST(SUM(f3*f3) AS BIGINT) AS s_f3f3
+  FROM geo_points
+)
+SELECT n,
+       ROUND((s_f1f1 - CAST(s_f1 AS DOUBLE) * s_f1 / n) / n, 6) AS var_f1,
+       ROUND((s_f2f2 - CAST(s_f2 AS DOUBLE) * s_f2 / n) / n, 6) AS var_f2,
+       ROUND((s_f3f3 - CAST(s_f3 AS DOUBLE) * s_f3 / n) / n, 6) AS var_f3,
+       ROUND((s_f1f2 - CAST(s_f1 AS DOUBLE) * s_f2 / n) / n, 6) AS cov_f1f2,
+       ROUND((s_f1f3 - CAST(s_f1 AS DOUBLE) * s_f3 / n) / n, 6) AS cov_f1f3,
+       ROUND((s_f2f3 - CAST(s_f2 AS DOUBLE) * s_f3 / n) / n, 6) AS cov_f2f3
+FROM s
+""")
+
+
+# ------------------------------------------------------------ kNN variants
+
+def q53_knn_chebyshev_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """apply_rat_knn with Chebyshev distance + mode summary
+    (metrics enum python/rsgislib/__init__.py:160-166, summary :168-177;
+    RSGISRATKNN.cpp:390-420). k=5, integer distance, tie-break on
+    (count desc, label asc) like the reference's first-max scan."""
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark)
+    train = pts.filter("is_train = 1").select(
+        F.col("pt_id").alias("train_id"),
+        F.col("f1").alias("t1"), F.col("f2").alias("t2"), F.col("f3").alias("t3"),
+        (F.col("v").cast("long") % 5).alias("lab"),
+    )
+    ap = pts.filter("is_train = 0").select("pt_id", "f1", "f2", "f3")
+    cheb = F.greatest(
+        F.abs(F.col("f1") - F.col("t1")),
+        F.abs(F.col("f2") - F.col("t2")),
+        F.abs(F.col("f3") - F.col("t3")),
+    )
+    j = ap.crossJoin(F.broadcast(train)).withColumn("d", cheb)
+    topk = (
+        j.withColumn(
+            "rn", F.row_number().over(W.partitionBy("pt_id").orderBy(F.asc("d"), F.asc("train_id")))
+        ).filter(F.col("rn") <= 5)
+    )
+    counts = topk.groupBy("pt_id", "lab").agg(F.count("*").alias("c"))
+    pick = W.partitionBy("pt_id").orderBy(F.desc("c"), F.asc("lab"))
+    return (
+        counts.withColumn("rk", F.row_number().over(pick))
+        .filter("rk = 1")
+        .select("pt_id", F.col("lab").alias("knn_mode_lab"), F.col("c").alias("votes"))
+    )
+
+
+ORACLE_Q53 = _cte("""
+, train AS (
+  SELECT pt_id AS train_id, f1 t1, f2 t2, f3 t3, CAST(v AS BIGINT) % 5 AS lab
+  FROM geo_points WHERE is_train = 1
+), ap AS (SELECT pt_id, f1, f2, f3 FROM geo_points WHERE is_train = 0),
+j AS (
+  SELECT ap.pt_id, train.train_id, train.lab,
+         GREATEST(ABS(f1 - t1), ABS(f2 - t2), ABS(f3 - t3)) AS d
+  FROM ap CROSS JOIN train
+), topk AS (
+  SELECT pt_id, lab FROM (
+    SELECT pt_id, lab, ROW_NUMBER() OVER (PARTITION BY pt_id ORDER BY d ASC, train_id ASC) AS rn
+    FROM j
+  ) WHERE rn <= 5
+), counts AS (
+  SELECT pt_id, lab, COUNT(*) AS c FROM topk GROUP BY 1, 2
+)
+SELECT pt_id, lab AS knn_mode_lab, c AS votes FROM (
+  SELECT pt_id, lab, c, ROW_NUMBER() OVER (PARTITION BY pt_id ORDER BY c DESC, lab ASC) AS rk
+  FROM counts
+) WHERE rk = 1
+""")
+
+
+def q54_majority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_class_majority (rastergis.cpp:1887-1906): label each image with
+    the majority class among bbox-intersecting zones; ties → class asc."""
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark).select("image_key", "minx", "miny", "maxx", "maxy")
+    z = _geo_zones(spark).select(
+        F.col("minx").alias("zminx"), F.col("miny").alias("zminy"),
+        F.col("maxx").alias("zmaxx"), F.col("maxy").alias("zmaxy"), "class_name",
+    )
+    j = gi.join(
+        F.broadcast(z),
+        (F.col("minx") <= F.col("zmaxx")) & (F.col("maxx") >= F.col("zminx"))
+        & (F.col("miny") <= F.col("zmaxy")) & (F.col("maxy") >= F.col("zminy")),
+    )
+    counts = j.groupBy("image_key", "class_name").agg(F.count("*").alias("c"))
+    pick = W.partitionBy("image_key").orderBy(F.desc("c"), F.asc("class_name"))
+    return (
+        counts.withColumn("rk", F.row_number().over(pick))
+        .filter("rk = 1")
+        .select("image_key", F.col("class_name").alias("majority_class"), F.col("c").alias("votes"))
+    )
+
+
+ORACLE_Q54 = _cte("""
+, j AS (
+  SELECT i.image_key, z.class_name
+  FROM geo_images i JOIN geo_zones z
+  ON i.minx <= z.maxx AND i.maxx >= z.minx AND i.miny <= z.maxy AND i.maxy >= z.miny
+), counts AS (
+  SELECT image_key, class_name, COUNT(*) AS c FROM j GROUP BY 1, 2
+)
+SELECT image_key, class_name AS majority_class, c AS votes FROM (
+  SELECT image_key, class_name, c,
+         ROW_NUMBER() OVER (PARTITION BY image_key ORDER BY c DESC, class_name ASC) AS rk
+  FROM counts
+) WHERE rk = 1
+""")
+
+
+def q55_salted_cell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's deterministic hot-cell salted join (operators.salting)
+    vs a plain-SQL cell join oracle — proves salting changes only the
+    physical key distribution, never the result (north-rule skew
+    strategy, SURVEY §4.2). hot_threshold is set low so salting actually
+    triggers at sf0.01."""
+    from rsgislib_spark.operators.salting import salted_cell_join
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark).withColumn(
+        "cell",
+        F.floor(F.col("minx") / CELL).cast("long") * F.lit(GRID_DIM)
+        + F.floor(F.col("miny") / CELL).cast("long"),
+    ).select("image_key", "cell")
+    z = _geo_zones(spark).select(
+        "zone_id",
+        F.floor(F.col("minx") / CELL).cast("long").alias("cx0"),
+        F.floor(F.col("maxx") / CELL).cast("long").alias("cx1"),
+        F.floor(F.col("miny") / CELL).cast("long").alias("cy0"),
+        F.floor(F.col("maxy") / CELL).cast("long").alias("cy1"),
+    )
+    zone_cells = (
+        z.withColumn("cx", F.explode(F.sequence("cx0", "cx1")))
+        .withColumn("cy", F.explode(F.sequence("cy0", "cy1")))
+        .select("zone_id", (F.col("cx") * GRID_DIM + F.col("cy")).alias("cell"))
+    )
+    out = salted_cell_join(
+        gi, zone_cells, big_id="image_key", n_salts=4, hot_threshold=20
+    )
+    return out.select("image_key", "zone_id")
+
+
+ORACLE_Q55 = _cte(f"""
+SELECT i.image_key, z.zone_id
+FROM geo_images i JOIN geo_zones z
+ON FLOOR(i.minx / {CELL}) BETWEEN FLOOR(z.minx / {CELL}) AND FLOOR(z.maxx / {CELL})
+AND FLOOR(i.miny / {CELL}) BETWEEN FLOOR(z.miny / {CELL}) AND FLOOR(z.maxy / {CELL})
+""")
+
+
+# ------------------------------------------------- multimodal (rows-only)
+
+def q60_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image-payload pipeline on the input_hint table (real
+    bytes): decode (kernels.codecs) → per-image pixel stats + phash
+    verify + PSNR-vs-reencode ≥ 40 dB check, aggregated per format.
+
+    Rows-only (DuckDB cannot decode the payload); per-row invariants are
+    additionally asserted in tests/test_operators.py. Data is the
+    deterministic seeded generator (datagen) — no external input."""
+    import pyarrow as pa
+
+    from rsgislib_spark import datagen
+    from rsgislib_spark.kernels import codecs
+    from rsgislib_spark.kernels.phash import phash64
+
+    pdf = datagen.gen_images(150, seed=42)
+    sdf = spark.createDataFrame(
+        pdf[["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]]
+    ).repartition(8)
+
+    def _proc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for p in it:
+            rows = []
+            for rec in p.itertuples(index=False):
+                img = codecs.decode_image(bytes(rec.bytes), rec.fmt, int(rec.h), int(rec.w))
+                ok_phash = int(phash64(img)) == int(rec.phash) if rec.fmt != "jpg" else True
+                re_enc = codecs.encode_image(img, rec.fmt)
+                rt = codecs.decode_image(re_enc, rec.fmt, int(rec.h), int(rec.w))
+                p_db = codecs.psnr(img.astype(np.float64), rt.astype(np.float64))
+                rows.append(
+                    (rec.fmt, float(img.mean()), float(img.std()), ok_phash, bool(p_db >= 40.0))
+                )
+            yield pd.DataFrame(
+                rows, columns=["fmt", "px_mean", "px_std", "phash_ok", "psnr_ok"]
+            )
+
+    stats = sdf.mapInPandas(
+        _proc, schema="fmt string, px_mean double, px_std double, phash_ok boolean, psnr_ok boolean"
+    )
+    return stats.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.round(F.avg("px_mean"), 2).alias("avg_px_mean"),
+        F.sum(F.col("phash_ok").cast("int")).alias("n_phash_ok"),
+        F.sum(F.col("psnr_ok").cast("int")).alias("n_psnr_ok"),
+    )
+
+
+QUERIES_EXT = {
+    "q09_sorted_top100": q09_sorted_top100,
+    "q23_band_stats": q23_band_stats,
+    "q24_ndvi_summary": q24_ndvi_summary,
+    "q25_focal_mean": q25_focal_mean,
+    "q26_zone_adjacency": q26_zone_adjacency,
+    "q27_meanlit_stats": q27_meanlit_stats,
+    "q28_stratum_location_extent": q28_stratum_location_extent,
+    "q29_rollup_orders": q29_rollup_orders,
+    "q38_embed_near_dup": q38_embed_near_dup,
+    "q43_deterministic_sample": q43_deterministic_sample,
+    "q44_set_ops": q44_set_ops,
+    "q45_band_rmse": q45_band_rmse,
+    "q46_prop_true_expr": q46_prop_true_expr,
+    "q47_unpack_bits": q47_unpack_bits,
+    "q48_stretch_histogram": q48_stretch_histogram,
+    "q51_asof_last_click": q51_asof_last_click,
+    "q52_feature_covariance": q52_feature_covariance,
+    "q53_knn_chebyshev_mode": q53_knn_chebyshev_mode,
+    "q54_majority_class": q54_majority_class,
+    "q55_salted_cell_join": q55_salted_cell_join,
+    "q60_image_pipeline": q60_image_pipeline,
+}
+
+ORACLES_EXT = {
+    "q09_sorted_top100": ORACLE_Q09,
+    "q23_band_stats": ORACLE_Q23,
+    "q24_ndvi_summary": ORACLE_Q24,
+    "q25_focal_mean": ORACLE_Q25,
+    "q26_zone_adjacency": ORACLE_Q26,
+    "q27_meanlit_stats": ORACLE_Q27,
+    "q28_stratum_location_extent": ORACLE_Q28,
+    "q29_rollup_orders": ORACLE_Q29,
+    "q38_embed_near_dup": ORACLE_Q38,
+    "q43_deterministic_sample": ORACLE_Q43,
+    "q44_set_ops": ORACLE_Q44,
+    "q45_band_rmse": ORACLE_Q45,
+    "q46_prop_true_expr": ORACLE_Q46,
+    "q47_unpack_bits": ORACLE_Q47,
+    "q48_stretch_histogram": ORACLE_Q48,
+    "q51_asof_last_click": ORACLE_Q51,
+    "q52_feature_covariance": ORACLE_Q52,
+    "q53_knn_chebyshev_mode": ORACLE_Q53,
+    "q54_majority_class": ORACLE_Q54,
+    "q55_salted_cell_join": ORACLE_Q55,
+    # q60_image_pipeline: rows-only (payload decode is not ANSI SQL)
+}

@@ -1,0 +1,120 @@
+"""Unit tests for the focal-window and band-math kernel families plus
+deterministic sampling — brute-force oracles, reference semantics noted
+per function (SURVEY.md §2.2/§2.5/§2.6)."""
+
+import numpy as np
+import pytest
+
+from rsgislib_spark.kernels import bands as BK
+from rsgislib_spark.kernels import focal as FK
+
+
+def brute_focal(arr, radius, fn):
+    h, w = arr.shape
+    out = np.empty((h, w), dtype=np.float64)
+    for y in range(h):
+        for x in range(w):
+            win = arr[max(y - radius, 0): y + radius + 1, max(x - radius, 0): x + radius + 1]
+            out[y, x] = fn(win)
+    return out
+
+
+@pytest.fixture(scope="module")
+def raster():
+    rng = np.random.Generator(np.random.Philox(key=[7, 0]))
+    return rng.integers(0, 255, (23, 31)).astype(np.int64)
+
+
+def test_focal_sum_count_matches_brute(raster):
+    s, c = FK.focal_sum_count(raster, 1)
+    assert np.array_equal(s, brute_focal(raster, 1, np.sum).astype(np.int64))
+    assert np.array_equal(c, brute_focal(raster, 1, np.size).astype(np.int64))
+
+
+def test_focal_sum_count_radius2(raster):
+    s, c = FK.focal_sum_count(raster, 2)
+    assert np.array_equal(s, brute_focal(raster, 2, np.sum).astype(np.int64))
+    assert c[0, 0] == 9 and c[5, 5] == 25  # corner window clipped to 3x3
+
+
+def test_focal_mean_min_max_median(raster):
+    assert np.allclose(FK.focal_mean(raster, 1), brute_focal(raster, 1, np.mean))
+    assert np.array_equal(FK.focal_min(raster, 1), brute_focal(raster, 1, np.min))
+    assert np.array_equal(FK.focal_max(raster, 1), brute_focal(raster, 1, np.max))
+    assert np.allclose(FK.focal_median(raster, 1), brute_focal(raster, 1, np.median))
+
+
+def test_focal_stddev(raster):
+    assert np.allclose(
+        FK.focal_stddev_pop(raster, 1), brute_focal(raster, 1, lambda w: np.std(w))
+    )
+
+
+def test_focal_range(raster):
+    assert np.array_equal(
+        FK.focal_range(raster, 1), brute_focal(raster, 1, np.ptp).astype(np.int64)
+    )
+
+
+def test_slope_flat_and_ramp():
+    flat = np.full((9, 9), 100.0)
+    assert np.allclose(FK.slope_degrees(flat, 10.0), 0.0)
+    ramp = np.tile(np.arange(9, dtype=np.float64), (9, 1)) * 10.0  # dz/dx = 1
+    interior = FK.slope_degrees(ramp, 10.0)[2:-2, 2:-2]
+    assert np.allclose(interior, 45.0)
+
+
+def test_synth_bands_deterministic_and_in_range():
+    g1 = BK.synth_band_grid(707, 64, 40, "red")
+    g2 = BK.synth_band_grid(707, 64, 40, "red")
+    assert np.array_equal(g1, g2)
+    assert g1.min() >= 0 and g1.max() < 251
+    nir = BK.synth_band_grid(707, 64, 40, "nir")
+    assert nir.max() < 241 and not np.array_equal(g1, nir)
+
+
+def test_ndvi_guard_and_values():
+    red = np.array([[10, 0], [100, 251]], dtype=np.int64) % 251
+    nir = np.array([[30, 0], [50, 0]], dtype=np.int64)
+    v = BK.ndvi(red, nir)
+    assert v[0, 0] == pytest.approx(0.5)
+    assert v[0, 1] == 0.0  # 0/0 guard
+    assert v[1, 0] == pytest.approx(-1 / 3)
+
+
+def test_rmse_sq_sum():
+    a = np.array([[1, 2]], dtype=np.int64)
+    b = np.array([[4, 0]], dtype=np.int64)
+    assert BK.rmse_sq_sum(a, b) == 9 + 4
+
+
+def test_focal_operator_matches_whole_array(spark):
+    """focal_stats_tiled (halo tiles) == whole-array focal_sum_count."""
+    from rsgislib_spark.operators.focal import focal_stats_tiled
+
+    imgs = spark.createDataFrame(
+        [(401, 100, 64), (802, 37, 53)], "image_key long, w int, h int"
+    )
+    got = {
+        r["image_key"]: (r["sum_focal_sum"], r["sum_focal_cnt"])
+        for r in focal_stats_tiled(imgs, "sum_count", radius=1, tile=32).collect()
+    }
+    for key, w, h in [(401, 100, 64), (802, 37, 53)]:
+        grid = BK.synth_band_grid(key, w, h, "red")
+        s, c = FK.focal_sum_count(grid, 1)
+        assert got[key] == (int(s.sum()), int(c.sum()))
+
+
+def test_hash_bucket_stable_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from rsgislib_spark.functions.sampling import hash_bucket, train_test_split
+
+    df = spark.range(0, 2000).select(F.col("id"))
+    b1 = df.repartition(13).select(hash_bucket(F.col("id")).alias("b")).groupBy("b").count()
+    b2 = df.repartition(3).select(hash_bucket(F.col("id")).alias("b")).groupBy("b").count()
+    assert {tuple(r) for r in b1.collect()} == {tuple(r) for r in b2.collect()}
+    train, test = train_test_split(df, F.col("id"))
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 2000
+    assert 0.2 < n_test / 2000 < 0.4  # ~3/10 buckets
