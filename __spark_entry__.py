@@ -22,26 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from pyspark.sql import functions as F
+    """Flagship: the north-star spatial-join + tiling pipeline
+    (rsgislib_spark.pipeline.north_star) on /root/testdata/sf0.001 —
+    footprints → fused tiler/band/focal kernels → map-side STRtree zonal
+    rollup → per-zone stats. Driver checks rows>0 + stable schema."""
+    from rsgislib_spark.pipeline import north_star
 
-    from rsgislib_spark import queries as Q
-    from rsgislib_spark.operators.spatial_join import spatial_join_broadcast
-
-    sf_dir = "/root/testdata/sf0.001"
-    Q.load_views(spark, sf_dir)
-    images = Q._geo_images(spark).withColumnRenamed("image_key", "image_id")
-    zones = spark.createDataFrame(Q._zones_with_wkb(spark))
-    joined = spatial_join_broadcast(
-        images, zones, join_op="intersects", join_how="inner", id_col="image_id"
-    )
-    tiles = Q.q19_tile_grid(spark, sf_dir).groupBy(
-        F.col("image_key").alias("image_id")
-    ).agg(F.count("*").alias("n_tiles"))
-    return (
-        joined.join(tiles, "image_id")
-        .select("image_id", "zone_id", "class_name", "minx", "miny", "maxx", "maxy", "n_tiles")
-    )
+    return north_star(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -21,21 +21,24 @@ from __future__ import annotations
 import numpy as np
 
 
-def _integral(arr: np.ndarray) -> np.ndarray:
+def _integral(arr: np.ndarray, dtype=np.int64) -> np.ndarray:
     """Summed-area table with a zero row/col prepended."""
-    s = np.zeros((arr.shape[0] + 1, arr.shape[1] + 1), dtype=np.int64)
-    np.cumsum(np.cumsum(arr, axis=0, dtype=np.int64), axis=1, out=s[1:, 1:])
+    s = np.zeros((arr.shape[0] + 1, arr.shape[1] + 1), dtype=dtype)
+    np.cumsum(np.cumsum(arr, axis=0, dtype=dtype), axis=1, out=s[1:, 1:])
     return s
 
 
-def focal_sum_count(arr: np.ndarray, radius: int = 1):
+def focal_sum_count(arr: np.ndarray, radius: int = 1, dtype=np.int64):
     """(sum, count) of the clipped (2r+1)² window around every pixel.
 
-    O(1) per pixel via integral image — integer-exact.
+    O(1) per pixel via integral image — integer-exact. Counts are
+    analytic (outer product of per-axis clipped window lengths), so only
+    one integral image is materialized; pass ``dtype=np.int32`` when
+    ``arr.max() * arr.size < 2**31`` to halve memory traffic (the fused
+    pipeline kernel does — bandwidth, not FLOPs, bounds this kernel).
     """
     h, w = arr.shape
-    s = _integral(arr)
-    ones = _integral(np.ones((h, w), dtype=np.int64))
+    s = _integral(arr, dtype)
     y0 = np.clip(np.arange(h) - radius, 0, h)
     y1 = np.clip(np.arange(h) + radius + 1, 0, h)
     x0 = np.clip(np.arange(w) - radius, 0, w)
@@ -43,7 +46,7 @@ def focal_sum_count(arr: np.ndarray, radius: int = 1):
     Y0, X0 = np.ix_(y0, x0)
     Y1, X1 = np.ix_(y1, x1)
     win_sum = s[Y1, X1] - s[Y0, X1] - s[Y1, X0] + s[Y0, X0]
-    win_cnt = ones[Y1, X1] - ones[Y0, X1] - ones[Y1, X0] + ones[Y0, X0]
+    win_cnt = np.outer((y1 - y0).astype(np.int64), (x1 - x0).astype(np.int64))
     return win_sum, win_cnt
 
 

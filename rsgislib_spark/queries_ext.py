@@ -786,7 +786,232 @@ def q60_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q56_resample_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbour 2× downsample then band stats
+    (resample_img_to_match interp=nearest, imageutils/__init__.py:2104-2209)
+    — engine slices the decoded grid; oracle selects the even lattice."""
+    from rsgislib_spark.kernels import bands as BK
+    from rsgislib_spark.operators.multimodal import resize_nearest
+
+    load_views(spark, sf_dir)
+    gi = _px_images(spark).select("image_key", "w", "h")
+
+    def _rs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                grid = BK.synth_band_grid(k, w, h, "red")
+                small = resize_nearest(grid, h // 2, w // 2)
+                rows.append((k, small.size, int(small.sum())))
+            yield pd.DataFrame(rows, columns=["image_key", "n_out_px", "sum_out"])
+
+    return gi.mapInPandas(_rs, schema="image_key long, n_out_px long, sum_out long")
+
+
+# resize_nearest with out = in//2 picks src indices floor(i * h/(h//2));
+# for even sizes that is exactly the even lattice 0,2,4,... (our SIZES
+# are all even), which the oracle reproduces relationally.
+ORACLE_Q56 = _cte(f""", {PIXELS_CTE}
+SELECT image_key, COUNT(*) AS n_out_px, CAST(SUM(red) AS BIGINT) AS sum_out
+FROM pixels
+WHERE px % 2 = 0 AND py % 2 = 0 AND px < 2 * (w // 2) AND py < 2 * (h // 2)
+GROUP BY image_key
+""")
+
+
+def q57_overlay_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry-producing overlay join (vectorgeoms intersection,
+    vectorgeoms/__init__.py:1137-1188): clipped rectangle + its area per
+    intersecting image×zone pair — pure column expressions."""
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark)
+    z = _geo_zones(spark).select(
+        "zone_id",
+        F.col("minx").alias("zminx"), F.col("miny").alias("zminy"),
+        F.col("maxx").alias("zmaxx"), F.col("maxy").alias("zmaxy"),
+    )
+    j = gi.join(
+        F.broadcast(z),
+        (F.col("minx") < F.col("zmaxx")) & (F.col("maxx") > F.col("zminx"))
+        & (F.col("miny") < F.col("zmaxy")) & (F.col("maxy") > F.col("zminy")),
+    )
+    ix0 = F.greatest("minx", "zminx")
+    iy0 = F.greatest("miny", "zminy")
+    ix1 = F.least("maxx", "zmaxx")
+    iy1 = F.least("maxy", "zmaxy")
+    return j.select(
+        "image_key", "zone_id",
+        ix0.alias("ix0"), iy0.alias("iy0"), ix1.alias("ix1"), iy1.alias("iy1"),
+        ((ix1 - ix0) * (iy1 - iy0)).alias("area"),
+    )
+
+
+ORACLE_Q57 = _cte("""
+SELECT i.image_key, z.zone_id,
+       GREATEST(i.minx, z.minx) AS ix0, GREATEST(i.miny, z.miny) AS iy0,
+       LEAST(i.maxx, z.maxx) AS ix1, LEAST(i.maxy, z.maxy) AS iy1,
+       (LEAST(i.maxx, z.maxx) - GREATEST(i.minx, z.minx))
+       * (LEAST(i.maxy, z.maxy) - GREATEST(i.miny, z.miny)) AS area
+FROM geo_images i JOIN geo_zones z
+ON i.minx < z.maxx AND i.maxx > z.minx AND i.miny < z.maxy AND i.maxy > z.miny
+""")
+
+
+def q58_pixel_band_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_pixel_column_summary (imagecalc.cpp:1967-1981): per-pixel
+    reduction ACROSS the band axis (min/max/sum of [red, nir]), rolled up
+    per image with integer-exact accumulators."""
+    from rsgislib_spark.kernels import bands as BK
+
+    load_views(spark, sf_dir)
+    gi = _px_images(spark).select("image_key", "w", "h")
+
+    def _sm(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                red = BK.synth_band_grid(k, w, h, "red")
+                nir = BK.synth_band_grid(k, w, h, "nir")
+                rows.append(
+                    (
+                        k,
+                        int(np.minimum(red, nir).sum()),
+                        int(np.maximum(red, nir).sum()),
+                        int((red + nir).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_key", "sum_px_min", "sum_px_max", "sum_px_tot"]
+            )
+
+    return gi.mapInPandas(
+        _sm, schema="image_key long, sum_px_min long, sum_px_max long, sum_px_tot long"
+    )
+
+
+ORACLE_Q58 = _cte(f""", {PIXELS_CTE}
+SELECT image_key,
+       CAST(SUM(LEAST(red, nir)) AS BIGINT) AS sum_px_min,
+       CAST(SUM(GREATEST(red, nir)) AS BIGINT) AS sum_px_max,
+       CAST(SUM(red + nir) AS BIGINT) AS sum_px_tot
+FROM pixels GROUP BY image_key
+""")
+
+
+def q62_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming availableNow over the events table, then
+    aggregate the streamed output — the ORACLE is the plain batch SQL, so
+    streaming/batch parity is itself correctness-gated. Uses a per-call
+    temp dir; the checkpoint makes re-runs incremental
+    (streaming.incremental semantics)."""
+    import os
+    import tempfile
+
+    load_views(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="rsgis_stream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+
+    from rsgislib_spark.streaming.incremental import incremental_event_counts
+
+    incremental_event_counts(spark, src, out_dir, ckpt)
+    streamed = spark.read.parquet(out_dir)
+    return streamed.groupBy("hour", "event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+ORACLE_Q62 = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+       COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q63_clump_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clumping with tiled labelling + cross-tile
+    reconcile (segmentation clump + merge_equiv_clumps,
+    tiledclump.py:134-224). Rows-only: transitive closure over pixel
+    adjacency is not practical ANSI SQL; parity vs a whole-image BFS
+    oracle is asserted in tests/test_clump_multimodal.py."""
+    from rsgislib_spark.operators.clump import clump_images
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)
+    return clump_images(gi, threshold=125, tile=96).orderBy("image_key")
+
+
+def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image feature extraction over real payload bytes (decode →
+    mean/std/thumbnail/phash; operators.multimodal). Rows-only."""
+    from rsgislib_spark import datagen
+    from rsgislib_spark.operators.multimodal import image_features
+
+    pdf = datagen.gen_images(100, seed=42)
+    sdf = spark.createDataFrame(
+        pdf[["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]]
+    ).repartition(8)
+    feats = image_features(sdf)
+    return feats.select(
+        "image_id", F.round("px_mean", 3).alias("px_mean"), "phash"
+    ).orderBy("image_id")
+
+
+def q64_north_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full north-star pipeline (rsgislib_spark.pipeline.north_star):
+    footprints → fused tiler+band+focal kernels with per-image rollup →
+    map-side STRtree zonal match with partial aggregation → per-zone
+    stats. Oracle trick: per-image focal totals equal
+    Σ v(p)·cx(p)·cy(p) where cx/cy are the per-axis window-membership
+    counts (3 interior, 2 at edges) — no 9× neighbour blow-up needed."""
+    from rsgislib_spark.pipeline import north_star
+
+    load_views(spark, sf_dir)
+    return north_star(spark, sf_dir)
+
+
+ORACLE_Q64 = _cte("""
+, pixels_all AS (
+  SELECT image_key, minx, miny, maxx, maxy, w, h,
+         (image_key * 7 + gx.px * 13 + gy.py * 17) % 251 AS red,
+         CASE WHEN gx.px = 0 OR gx.px = w - 1 THEN 2 ELSE 3 END AS cx,
+         CASE WHEN gy.py = 0 OR gy.py = h - 1 THEN 2 ELSE 3 END AS cy
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+), per_img AS (
+  SELECT image_key, MIN(minx) minx, MIN(miny) miny, MIN(maxx) maxx, MIN(maxy) maxy,
+         ((MIN(w) + 95) // 96) * ((MIN(h) + 95) // 96) AS n_tiles,
+         COUNT(*) AS n_px, SUM(red) AS sum_v, MIN(red) AS min_v, MAX(red) AS max_v,
+         SUM(red * cx * cy) AS focal_sum, SUM(cx * cy) AS focal_cnt
+  FROM pixels_all GROUP BY image_key
+)
+SELECT z.zone_id, COUNT(*) AS n_images,
+       CAST(SUM(i.n_tiles) AS BIGINT) AS n_tiles,
+       CAST(SUM(i.n_px) AS BIGINT) AS n_px,
+       CAST(SUM(i.sum_v) AS BIGINT) AS sum_v,
+       CAST(MIN(i.min_v) AS BIGINT) AS min_v,
+       CAST(MAX(i.max_v) AS BIGINT) AS max_v,
+       ROUND(CAST(SUM(i.focal_sum) AS DOUBLE) / SUM(i.focal_cnt), 6) AS mean_focal
+FROM per_img i JOIN geo_zones z
+ON i.minx <= z.maxx AND i.maxx >= z.minx AND i.miny <= z.maxy AND i.maxy >= z.miny
+GROUP BY z.zone_id
+""")
+
+
 QUERIES_EXT = {
+    "q64_north_star": q64_north_star,
+    "q56_resample_nearest": q56_resample_nearest,
+    "q57_overlay_intersection": q57_overlay_intersection,
+    "q58_pixel_band_summary": q58_pixel_band_summary,
+    "q61_multimodal_features": q61_multimodal_features,
+    "q62_streaming_batch_parity": q62_streaming_batch_parity,
+    "q63_clump_components": q63_clump_components,
     "q09_sorted_top100": q09_sorted_top100,
     "q23_band_stats": q23_band_stats,
     "q24_ndvi_summary": q24_ndvi_summary,
@@ -811,6 +1036,13 @@ QUERIES_EXT = {
 }
 
 ORACLES_EXT = {
+    "q64_north_star": ORACLE_Q64,
+    "q56_resample_nearest": ORACLE_Q56,
+    "q57_overlay_intersection": ORACLE_Q57,
+    "q58_pixel_band_summary": ORACLE_Q58,
+    "q62_streaming_batch_parity": ORACLE_Q62,
+    # q61_multimodal_features, q63_clump_components: rows-only (payload
+    # decode / transitive closure are not ANSI SQL)
     "q09_sorted_top100": ORACLE_Q09,
     "q23_band_stats": ORACLE_Q23,
     "q24_ndvi_summary": ORACLE_Q24,
