@@ -42,7 +42,7 @@ spark = get_spark(master=f"local[{{cpus}}]", app_name=f"scaling_{{cpus}}",
 n_images = spark.read.parquet(f"{{sf_dir}}/part.parquet").count() * rep
 north_star(spark, sf_dir, n_partitions=cpus * 2, replicate=rep).collect()  # full-size warmup
 walls = []
-for _ in range(3):
+for _ in range(int(sys.argv[4])):
     t0 = time.perf_counter()
     rows = north_star(spark, sf_dir, n_partitions=cpus * 2, replicate=rep).collect()
     walls.append(time.perf_counter() - t0)
@@ -52,8 +52,9 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, sf_dir: str, rep: int) -> dict:
-    cmd = [sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), sf_dir, str(rep)]
+def run_level(cpus: int, sf_dir: str, rep: int, n_runs: int = 1) -> dict:
+    cmd = [sys.executable, "-c", CHILD.format(repo=REPO), str(cpus), sf_dir,
+           str(rep), str(n_runs)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3000)
@@ -64,8 +65,17 @@ def run_level(cpus: int, sf_dir: str, rep: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     rep = int(os.environ.get("SPARK_GRAFT_REP", "128"))
-    lo = run_level(8, sf_dir, rep)
-    hi = run_level(32, sf_dir, rep)
+    # interleave the two levels in time: the host is shared and noisy, so
+    # paired sampling keeps both levels under comparable interference
+    lo_walls, hi_walls = [], []
+    lo = hi = None
+    for _ in range(3):
+        lo = run_level(8, sf_dir, rep)
+        lo_walls += lo["walls"]
+        hi = run_level(32, sf_dir, rep)
+        hi_walls += hi["walls"]
+    lo["walls"], lo["wall_s"] = lo_walls, min(lo_walls)
+    hi["walls"], hi["wall_s"] = hi_walls, min(hi_walls)
     thr_lo = lo["n_images"] / lo["wall_s"]
     thr_hi = hi["n_images"] / hi["wall_s"]
     eff = (thr_hi / thr_lo) / 4.0
