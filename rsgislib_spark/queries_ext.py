@@ -1004,8 +1004,194 @@ GROUP BY z.zone_id
 """)
 
 
+def q65_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity linear trend fit (timeseries/modelfitting.py:54-264,
+    trend component) via groupBy + applyInPandas normal equations.
+    t = whole days since 2024-01-01; y scaled to integer-valued doubles
+    so the moment sums are order-independent-exact in both engines."""
+    from rsgislib_spark.operators.timeseries import linear_trend_fit
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events").select(
+        "user_id",
+        F.datediff(F.col("ts"), F.lit("2024-01-01").cast("date")).cast("double").alias("t"),
+        F.round(F.col("value") * 10000).alias("y"),
+    )
+    out = linear_trend_fit(ev, group_col="user_id", t_col="t", y_col="y")
+    return out.select(
+        "user_id", "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
+
+
+ORACLE_Q65 = """
+WITH d AS (
+  SELECT user_id,
+         CAST(datediff('day', DATE '2024-01-01', ts) AS DOUBLE) AS t,
+         ROUND(value * 10000) AS y
+  FROM events
+), s AS (
+  SELECT user_id, COUNT(*) AS n, SUM(t) AS st, SUM(y) AS sy,
+         SUM(t * t) AS stt, SUM(t * y) AS sty
+  FROM d GROUP BY user_id
+)
+SELECT user_id, n,
+       ROUND(CASE WHEN n * stt - st * st = 0 THEN 0.0
+            ELSE (n * sty - st * sy) / (n * stt - st * st) END, 6) AS slope,
+       ROUND(CASE WHEN n * stt - st * st = 0 THEN sy / n
+            ELSE (sy - (n * sty - st * sy) / (n * stt - st * st) * st) / n END, 6) AS intercept
+FROM s
+"""
+
+
+def q66_band_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-correlation registration (find_image_offset /
+    correlation_window, python/src/imageregistration.cpp:245-361): find
+    the (dx,dy) ∈ [-1,1]² shift of the nir band that maximises Pearson
+    correlation with red. Integer moment sums → cross-engine exact;
+    tie-break (r desc, dx asc, dy asc)."""
+    from rsgislib_spark.kernels import bands as BK
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0).select(
+        "image_key", "w", "h"
+    )
+
+    def _reg(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                red = BK.synth_band_grid(k, w, h, "red")
+                nir = BK.synth_band_grid(k, w, h, "nir")
+                best = None
+                for dx in (-1, 0, 1):
+                    for dy in (-1, 0, 1):
+                        a = red[max(dy, 0) : h + min(dy, 0), max(dx, 0) : w + min(dx, 0)]
+                        b = nir[max(-dy, 0) : h - max(dy, 0), max(-dx, 0) : w - max(dx, 0)]
+                        n = a.size
+                        sa, sb = int(a.sum()), int(b.sum())
+                        sab = int((a * b).sum())
+                        saa = int((a * a).sum())
+                        sbb = int((b * b).sum())
+                        num = n * sab - sa * sb
+                        den = np.sqrt(float(n * saa - sa * sa)) * np.sqrt(
+                            float(n * sbb - sb * sb)
+                        )
+                        r = num / den if den else 0.0
+                        cand = (-r, dx, dy)
+                        if best is None or cand < best:
+                            best = cand
+                rows.append((k, best[1], best[2], round(-best[0], 6)))
+            yield pd.DataFrame(rows, columns=["image_key", "best_dx", "best_dy", "best_r"])
+
+    return gi.mapInPandas(
+        _reg, schema="image_key long, best_dx int, best_dy int, best_r double"
+    )
+
+
+ORACLE_Q66 = _cte(f"""
+, offs AS (
+  SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
+), px AS (
+  SELECT image_key, w, h, gx.px AS px, gy.py AS py
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+), pairs AS (
+  SELECT p.image_key, o.dx, o.dy,
+         (p.image_key * 7 + p.px * 13 + p.py * 17) % 251 AS a,
+         (p.image_key * 11 + (p.px - o.dx) * 5 + (p.py - o.dy) * 3) % 241 AS b
+  FROM px p CROSS JOIN offs o
+  WHERE p.px - o.dx >= 0 AND p.px - o.dx < p.w
+    AND p.py - o.dy >= 0 AND p.py - o.dy < p.h
+), s AS (
+  SELECT image_key, dx, dy, COUNT(*) AS n,
+         SUM(a) sa, SUM(b) sb, SUM(a*b) sab, SUM(a*a) saa, SUM(b*b) sbb
+  FROM pairs GROUP BY 1, 2, 3
+), r AS (
+  SELECT image_key, dx, dy,
+         CASE WHEN (n*saa - sa*sa) = 0 OR (n*sbb - sb*sb) = 0 THEN 0.0
+              ELSE (n*sab - sa*sb) / (SQRT(CAST(n*saa - sa*sa AS DOUBLE)) * SQRT(CAST(n*sbb - sb*sb AS DOUBLE)))
+         END AS r
+  FROM s
+)
+SELECT image_key, CAST(dx AS INT) AS best_dx, CAST(dy AS INT) AS best_dy,
+       ROUND(r, 6) AS best_r
+FROM (
+  SELECT image_key, dx, dy, r,
+         ROW_NUMBER() OVER (PARTITION BY image_key ORDER BY r DESC, dx ASC, dy ASC) AS rk
+  FROM r
+) WHERE rk = 1
+""")
+
+
+def q67_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radiometric calibration family (imagecalibration.cpp:1665-1954):
+    DN → radiance (per-band gain/offset) → TOA reflectance, rolled up per
+    image. Radiance sums decompose to gain·ΣDN + n·offset over
+    integer-exact ΣDN, so the double arithmetic is identical per engine."""
+    from rsgislib_spark.kernels import bands as BK
+    from rsgislib_spark.kernels import calibration as CAL
+
+    load_views(spark, sf_dir)
+    gi = _px_images(spark).select("image_key", "w", "h")
+    d = CAL.solar_distance(166)  # fixed acquisition DOY for the fixture
+    cos_sza = float(np.cos(np.radians(35.0)))
+
+    def _cal(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                n = w * h
+                out = [k, n]
+                for band in ("red", "nir"):
+                    g, o = CAL.BAND_COEFFS[band]
+                    dn = BK.synth_band_grid(k, w, h, band)
+                    # aggregate the integer DN first (order-exact), then
+                    # apply the linear/reflectance maps — Σρ = c·ΣL exactly
+                    sum_l = g * int(dn.sum()) + n * o
+                    sum_rho = (np.pi * sum_l * float(d) * float(d)) / (
+                        CAL.ESUN[band] * cos_sza
+                    )
+                    out += [round(sum_l, 4), round(sum_rho, 4)]
+                rows.append(tuple(out))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_key", "n_px", "sum_l_red", "sum_rho_red",
+                         "sum_l_nir", "sum_rho_nir"],
+            )
+
+    return gi.mapInPandas(
+        _cal,
+        schema="image_key long, n_px long, sum_l_red double, sum_rho_red double, "
+        "sum_l_nir double, sum_rho_nir double",
+    )
+
+
+_CAL_D = "(1.0 - 0.01672 * COS(RADIANS(0.9856 * (166 - 4))))"
+ORACLE_Q67 = _cte(f""", {PIXELS_CTE}
+, s AS (
+  SELECT image_key, COUNT(*) AS n, SUM(red) AS s_red, SUM(nir) AS s_nir
+  FROM pixels GROUP BY image_key
+)
+SELECT image_key, n AS n_px,
+       ROUND(0.01 * s_red + n * -0.1, 4) AS sum_l_red,
+       ROUND((PI() * (0.01 * s_red + n * -0.1) * {_CAL_D} * {_CAL_D}) / (1536.0 * COS(RADIANS(35.0))), 4) AS sum_rho_red,
+       ROUND(0.008 * s_nir + n * -0.05, 4) AS sum_l_nir,
+       ROUND((PI() * (0.008 * s_nir + n * -0.05) * {_CAL_D} * {_CAL_D}) / (1145.0 * COS(RADIANS(35.0))), 4) AS sum_rho_nir
+FROM s
+""")
+
+
 QUERIES_EXT = {
     "q64_north_star": q64_north_star,
+    "q65_trend_fit": q65_trend_fit,
+    "q66_band_registration": q66_band_registration,
+    "q67_calibration": q67_calibration,
     "q56_resample_nearest": q56_resample_nearest,
     "q57_overlay_intersection": q57_overlay_intersection,
     "q58_pixel_band_summary": q58_pixel_band_summary,
@@ -1037,6 +1223,9 @@ QUERIES_EXT = {
 
 ORACLES_EXT = {
     "q64_north_star": ORACLE_Q64,
+    "q65_trend_fit": ORACLE_Q65,
+    "q66_band_registration": ORACLE_Q66,
+    "q67_calibration": ORACLE_Q67,
     "q56_resample_nearest": ORACLE_Q56,
     "q57_overlay_intersection": ORACLE_Q57,
     "q58_pixel_band_summary": ORACLE_Q58,
