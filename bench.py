@@ -32,7 +32,6 @@ HEADLINE = [
     "q25_focal_mean",
     "q31_token_stats",
     "q35_minhash_bands",
-    "q38_embed_near_dup",
     "q40_ann_cosine_topk",
     "q55_salted_cell_join",
     "q64_north_star",

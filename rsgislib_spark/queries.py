@@ -275,13 +275,13 @@ def q06_mktseg_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "c_mktsegment")
         .agg(F.count("*").alias("cnt"))
     )
-    tot = per.groupBy("n_name").agg(F.sum("cnt").alias("tot"))
-    return (
-        per.join(tot, "n_name")
-        .select(
-            "n_name", "c_mktsegment", "cnt",
-            F.round(F.col("cnt") / F.col("tot"), 6).alias("prop"),
-        )
+    # window over the grouped result instead of a self-join with the
+    # per-nation totals: one shuffle (the groupBy) feeds both — the
+    # nation partitioning is reused by the window, no extra exchange
+    tot = F.sum("cnt").over(W.partitionBy("n_name"))
+    return per.select(
+        "n_name", "c_mktsegment", "cnt",
+        F.round(F.col("cnt") / tot, 6).alias("prop"),
     )
 
 
