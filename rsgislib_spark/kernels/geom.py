@@ -153,6 +153,26 @@ def points_in_polygon(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
     return inside
 
 
+def points_on_boundary(px: np.ndarray, py: np.ndarray, rings) -> np.ndarray:
+    """True where the point lies ON a ring edge (collinear + within the
+    segment's bbox) — the boundary part of shapely's closed ``within``/
+    ``covers`` semantics that an even-odd ray cast cannot decide."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    on = np.zeros(px.shape, dtype=bool)
+    ex0, ey0, ex1, ey1 = _ring_edges(rings)
+    cross = (ex1 - ex0)[None, :] * (py[:, None] - ey0[None, :]) - (
+        ey1 - ey0
+    )[None, :] * (px[:, None] - ex0[None, :])
+    inbox = (
+        (np.minimum(ex0, ex1)[None, :] <= px[:, None])
+        & (px[:, None] <= np.maximum(ex0, ex1)[None, :])
+        & (np.minimum(ey0, ey1)[None, :] <= py[:, None])
+        & (py[:, None] <= np.maximum(ey0, ey1)[None, :])
+    )
+    return ((cross == 0) & inbox).any(axis=1)
+
+
 def _seg_intersect_any(ax0, ay0, ax1, ay1, bx0, by0, bx1, by1) -> np.ndarray:
     """Proper/improper segment intersection test.
 
@@ -286,10 +306,12 @@ def rect_within_polygon(rects: np.ndarray, rings) -> np.ndarray:
         return out
     idx = np.nonzero(cand)[0]
     R = rects[idx]
-    # 1) all 4 corners inside the polygon
+    # 1) all 4 corners inside OR ON the polygon boundary (shapely within
+    #    allows boundary contact: a.within(a) is True)
     cx = np.concatenate([R[:, 0], R[:, 2], R[:, 2], R[:, 0]])
     cy = np.concatenate([R[:, 1], R[:, 1], R[:, 3], R[:, 3]])
-    corners_in = points_in_polygon(cx, cy, rings).reshape(4, -1).all(axis=0)
+    cin = points_in_polygon(cx, cy, rings) | points_on_boundary(cx, cy, rings)
+    corners_in = cin.reshape(4, -1).all(axis=0)
     res = corners_in.copy()
     if res.any():
         live = np.nonzero(res)[0]

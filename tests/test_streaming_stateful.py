@@ -1,0 +1,133 @@
+"""Stateful streaming operators: drive applyInPandasWithState through a
+real (availableNow-style) streaming query on a file source and check the
+state semantics against batch ground truth."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rsgislib_spark.streaming.stateful import running_user_totals
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    return str(src), str(out), str(ckpt)
+
+
+def test_running_user_totals_matches_batch(spark, stream_dirs):
+    src, out, ckpt = stream_dirs
+    sf = "/root/testdata/sf0.001"
+    os.symlink(f"{sf}/events.parquet", f"{src}/events.parquet")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    want = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got["n_events"] == want["n_events"]).all()
+    assert (got["total_value"] - want["total_value"]).abs().max() < 1e-3
+
+
+def test_running_totals_resume_across_restarts(spark, stream_dirs):
+    """Second availableNow run over NEW files continues from state."""
+    src, out, ckpt = stream_dirs
+    sf = "/root/testdata/sf0.001"
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").filter("user_id < 5").orderBy("event_id")
+    pdf = ev.toPandas()
+    # micros, not pandas-default nanos — must match the stream schema
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    half = len(pdf) // 2
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            running_user_totals(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    pdf.iloc[:half].to_parquet(f"{src}/part1.parquet", index=False)
+    run_once()
+    pdf.iloc[half:].to_parquet(f"{src}/part2.parquet", index=False)
+    run_once()
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .toPandas()
+        .set_index("user_id")["n_events"]
+    )
+    want = pdf.groupby("user_id").size()
+    for uid, n in want.items():
+        assert got[uid] == n, (uid, got[uid], n)
+
+
+def test_sessionize_closes_gapped_sessions(spark, stream_dirs):
+    from rsgislib_spark.streaming.stateful import sessionize
+
+    src, out, ckpt = stream_dirs
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00:00", "2024-01-01 00:10:00",  # session 1 (u1)
+         "2024-01-01 02:00:00", "2024-01-01 02:05:00",  # session 2 (u1)
+         "2024-01-01 05:00:00"]                          # open session (u1)
+    ).astype("datetime64[us]")
+    pdf = pd.DataFrame(
+        {"event_id": range(5), "ts": ts, "user_id": [1] * 5,
+         "event_type": ["click"] * 5, "value": [1.0] * 5, "props": [""] * 5}
+    )
+    pdf.to_parquet(f"{src}/ev.parquet", index=False)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionize(stream, gap_seconds=1800)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out).orderBy("session_start").toPandas()
+    # two CLOSED sessions emitted (the third stays open in state)
+    assert list(got["n_events"]) == [2, 2]
+    assert (got["session_end"] - got["session_start"]).tolist() == [600, 300]
