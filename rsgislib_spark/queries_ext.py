@@ -1187,8 +1187,111 @@ FROM s
 """)
 
 
+def q68_distance_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-to-target-pixels (calc_dist_to_img_vals,
+    imagecalc/__init__.py:136-236): exact chessboard distance transform
+    per image (two-pass chamfer kernel), rolled up to integer-exact
+    per-image sums. Targets = pixels where the band is 0."""
+    from rsgislib_spark.kernels import bands as BK
+    from rsgislib_spark.kernels.disttrans import chebyshev_distance_transform
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0).select(
+        "image_key", "w", "h"
+    )
+
+    def _dt(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                band = BK.synth_band_grid(k, w, h, "red")
+                targets = band == 0
+                if not targets.any():
+                    continue  # oracle inner-join drops target-free images
+                d = chebyshev_distance_transform(targets)
+                rows.append((k, int(targets.sum()), int(d.sum()), int(d.max())))
+            yield pd.DataFrame(rows, columns=["image_key", "n_targets", "sum_dist", "max_dist"])
+
+    return gi.mapInPandas(
+        _dt, schema="image_key long, n_targets long, sum_dist long, max_dist long"
+    )
+
+
+ORACLE_Q68 = _cte(f"""
+, px AS (
+  SELECT image_key, w, h, gx.px AS px, gy.py AS py,
+         (image_key * 7 + gx.px * 13 + gy.py * 17) % 251 AS red
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+), targets AS (
+  SELECT image_key, px AS tx, py AS ty FROM px WHERE red = 0
+), dist AS (
+  SELECT p.image_key, p.px, p.py,
+         MIN(GREATEST(ABS(p.px - t.tx), ABS(p.py - t.ty))) AS d
+  FROM px p JOIN targets t ON p.image_key = t.image_key
+  GROUP BY 1, 2, 3
+)
+SELECT d.image_key,
+       (SELECT COUNT(*) FROM targets t WHERE t.image_key = d.image_key) AS n_targets,
+       CAST(SUM(d.d) AS BIGINT) AS sum_dist, CAST(MAX(d.d) AS BIGINT) AS max_dist
+FROM dist d GROUP BY d.image_key
+""")
+
+
+COARSE = 8
+
+
+def q69_coarse_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_img_sum_stats_in_pxl (imagecalc.cpp:2383-2407): stats of fine
+    pixels within each coarse pixel (resolution-ratio grouping), rolled
+    up per image — engine uses reduceat block reductions."""
+    from rsgislib_spark.kernels import bands as BK
+
+    load_views(spark, sf_dir)
+    gi = _px_images(spark).select("image_key", "w", "h")
+
+    def _cs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                g = BK.synth_band_grid(k, w, h, "red")
+                xs = np.arange(0, w, COARSE)
+                ys = np.arange(0, h, COARSE)
+                mins = np.minimum.reduceat(np.minimum.reduceat(g, ys, 0), xs, 1)
+                maxs = np.maximum.reduceat(np.maximum.reduceat(g, ys, 0), xs, 1)
+                rows.append(
+                    (k, mins.size, int(mins.sum()), int(maxs.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_key", "n_coarse", "sum_cell_min", "sum_cell_max"]
+            )
+
+    return gi.mapInPandas(
+        _cs, schema="image_key long, n_coarse long, sum_cell_min long, sum_cell_max long"
+    )
+
+
+ORACLE_Q69 = _cte(f""", {PIXELS_CTE}
+, cells AS (
+  SELECT image_key, px // {COARSE} AS cx, py // {COARSE} AS cy,
+         MIN(red) AS cell_min, MAX(red) AS cell_max
+  FROM pixels GROUP BY 1, 2, 3
+)
+SELECT image_key, COUNT(*) AS n_coarse,
+       CAST(SUM(cell_min) AS BIGINT) AS sum_cell_min,
+       CAST(SUM(cell_max) AS BIGINT) AS sum_cell_max
+FROM cells GROUP BY image_key
+""")
+
+
 QUERIES_EXT = {
     "q64_north_star": q64_north_star,
+    "q68_distance_transform": q68_distance_transform,
+    "q69_coarse_pixel_stats": q69_coarse_pixel_stats,
     "q65_trend_fit": q65_trend_fit,
     "q66_band_registration": q66_band_registration,
     "q67_calibration": q67_calibration,
@@ -1224,6 +1327,8 @@ QUERIES_EXT = {
 ORACLES_EXT = {
     "q64_north_star": ORACLE_Q64,
     "q65_trend_fit": ORACLE_Q65,
+    "q68_distance_transform": ORACLE_Q68,
+    "q69_coarse_pixel_stats": ORACLE_Q69,
     "q66_band_registration": ORACLE_Q66,
     "q67_calibration": ORACLE_Q67,
     "q56_resample_nearest": ORACLE_Q56,

@@ -118,3 +118,27 @@ def test_hash_bucket_stable_and_partition_invariant(spark):
     n_train, n_test = train.count(), test.count()
     assert n_train + n_test == 2000
     assert 0.2 < n_test / 2000 < 0.4  # ~3/10 buckets
+
+
+def test_chebyshev_distance_transform_vs_brute():
+    from rsgislib_spark.kernels.disttrans import buffer_mask, chebyshev_distance_transform
+
+    def brute(targets):
+        h, w = targets.shape
+        ty, tx = np.nonzero(targets)
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.maximum(
+            np.abs(yy[:, :, None] - ty[None, None, :]),
+            np.abs(xx[:, :, None] - tx[None, None, :]),
+        ).min(axis=2).astype(np.int64)
+
+    rng = np.random.Generator(np.random.Philox(key=[11, 0]))
+    for dens in (0.01, 0.2):
+        for _ in range(5):
+            m = rng.random((37, 53)) < dens
+            if m.any():
+                assert np.array_equal(chebyshev_distance_transform(m), brute(m))
+    m = np.zeros((20, 20), bool)
+    m[3, 4] = True
+    assert buffer_mask(m, 2).sum() == 25  # 5x5 chessboard ball
+    assert (chebyshev_distance_transform(np.zeros((4, 4), bool)) >= 1 << 30).all()
