@@ -1095,7 +1095,7 @@ ORACLES = {
     "q36_ngram_jaccard": ORACLE_Q36,
     "q40_ann_cosine_topk": ORACLE_Q40,
     "q50_event_hour_windows": ORACLE_Q50,
-    # q37_simhash, q41_ann_lsh, q42_ann_ivf: rows-only (non-ANSI ops)
+    # q37_simhash: rows-only (bit-level op); q41/q42 oracles live in queries_ext
 }
 
 # Extension catalog (second coverage pass) — import at the bottom so

@@ -1324,7 +1324,79 @@ QUERIES_EXT = {
     "q60_image_pipeline": q60_image_pipeline,
 }
 
+# Oracles for the base-catalog ANN queries (q41/q42 were rows-only until
+# DuckDB's list_inner_product was confirmed to match the engine's
+# sequential fold): bucket assignment, probe selection, and ranking all
+# reproduced relationally.
+ORACLE_Q41 = """
+WITH refs AS (
+  SELECT vec_id AS ref_id, CAST(embedding AS DOUBLE[]) AS r
+  FROM embeddings WHERE vec_id < 3
+), b AS (
+  SELECT e.vec_id,
+         CAST(SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), refs.r) >= 0
+                  THEN 1 << CAST(refs.ref_id AS INT) ELSE 0 END) AS INT) AS bucket
+  FROM embeddings e CROSS JOIN refs GROUP BY e.vec_id
+), qb AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id >= 3 AND vec_id < 8),
+vb AS (SELECT vec_id AS nbr_id, bucket FROM b),
+scored AS (
+  SELECT q.query_id, v.nbr_id,
+         ROUND(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ne.embedding AS DOUBLE[])), 4) AS cos
+  FROM qb q JOIN vb v ON q.bucket = v.bucket AND v.nbr_id <> q.query_id
+  JOIN embeddings qe ON qe.vec_id = q.query_id
+  JOIN embeddings ne ON ne.vec_id = v.nbr_id
+)
+SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, nbr_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+ORACLE_Q42 = """
+WITH cents AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings ORDER BY vec_id LIMIT 8
+), va AS (
+  SELECT e.vec_id AS nbr_id, c.cent_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) AS cos_c
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT nbr_id, cent_id FROM (
+    SELECT nbr_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY nbr_id ORDER BY cos_c DESC, cent_id ASC) AS rn
+    FROM va
+  ) WHERE rn = 1
+), qa AS (
+  SELECT e.vec_id AS query_id, c.cent_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) AS cos_c
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id >= 3 AND e.vec_id < 8
+), probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT query_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_c DESC, cent_id ASC) AS rn
+    FROM qa
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT p.query_id, a.nbr_id,
+         ROUND(list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                      CAST(ne.embedding AS DOUBLE[])), 4) AS cos
+  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id AND a.nbr_id <> p.query_id
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  JOIN embeddings ne ON ne.vec_id = a.nbr_id
+)
+SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, nbr_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
 ORACLES_EXT = {
+    "q41_ann_lsh": ORACLE_Q41,
+    "q42_ann_ivf": ORACLE_Q42,
     "q64_north_star": ORACLE_Q64,
     "q65_trend_fit": ORACLE_Q65,
     "q68_distance_transform": ORACLE_Q68,
