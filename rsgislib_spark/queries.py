@@ -977,8 +977,7 @@ SELECT query_id, nbr_id, cos, rank FROM r WHERE rank <= 5
 
 
 def q41_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (rows-only: bucket assignment uses engine
-    reference vectors; oracle planned for a later round)."""
+    """Sign-LSH bucketed ANN (oracle in queries_ext)."""
     from rsgislib_spark.functions.similarity import lsh_bucketed_topk
 
     load_views(spark, sf_dir)
@@ -990,7 +989,7 @@ def q41_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q42_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (rows-only)."""
+    """IVF-style ANN (oracle in queries_ext)."""
     from rsgislib_spark.functions.similarity import ivf_topk
 
     load_views(spark, sf_dir)

@@ -28,6 +28,7 @@ from rsgislib_spark.queries import (
     _geo_images,
     _geo_points,
     _geo_zones,
+    _zones_with_wkb,
     load_views,
 )
 
@@ -1288,8 +1289,60 @@ FROM cells GROUP BY image_key
 """)
 
 
+def q71_spatial_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """perform_spatial_join with join_how='left'
+    (vectorutils/__init__.py:2196-2207): unmatched images kept with null
+    zone attributes (coalesced for stable hashing)."""
+    from rsgislib_spark.operators.spatial_join import spatial_join_broadcast
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark).withColumnRenamed("image_key", "image_id")
+    zones = spark.createDataFrame(_zones_with_wkb(spark))
+    out = spatial_join_broadcast(
+        gi, zones, join_op="within", join_how="left", id_col="image_id"
+    )
+    return out.select(
+        F.col("image_id").alias("image_key"),
+        F.coalesce("zone_id", F.lit(-1)).alias("zone_id"),
+        F.coalesce("class_name", F.lit("<none>")).alias("class_name"),
+    )
+
+
+ORACLE_Q71 = _cte("""
+SELECT i.image_key, COALESCE(z.zone_id, -1) AS zone_id,
+       COALESCE(z.class_name, '<none>') AS class_name
+FROM geo_images i LEFT JOIN geo_zones z
+ON z.minx <= i.minx AND i.maxx <= z.maxx AND z.miny <= i.miny AND i.maxy <= z.maxy
+""")
+
+
+# q37 upgrade: the SimHash bit-majority IS ANSI-SQL-expressible — hex
+# nibbles of md5 decode to the same 64 bits the engine's pandas UDF uses
+# (first 8 digest bytes big-endian; bit b = nibble (15 - b//4) >> (b%4)).
+ORACLE_Q37 = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM documents
+), bits AS (
+  SELECT doc_id, token, b.b AS b,
+         (((strpos('0123456789abcdef', substr(md5(token), 16 - b.b // 4, 1)) - 1)
+           >> (b.b % 4)) & 1) AS bit
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, 63)) AS b) b
+), acc AS (
+  SELECT doc_id, b, SUM(2 * bit - 1) AS a FROM bits GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN a > 0 THEN
+            CASE WHEN b = 63 THEN -9223372036854775808
+                 ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
+            ELSE 0 END) AS BIGINT) AS simhash
+FROM acc GROUP BY doc_id
+"""
+
+
 QUERIES_EXT = {
     "q64_north_star": q64_north_star,
+    "q71_spatial_join_left": q71_spatial_join_left,
     "q68_distance_transform": q68_distance_transform,
     "q69_coarse_pixel_stats": q69_coarse_pixel_stats,
     "q65_trend_fit": q65_trend_fit,
@@ -1395,6 +1448,8 @@ SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank FROM (
 """
 
 ORACLES_EXT = {
+    "q37_simhash": ORACLE_Q37,
+    "q71_spatial_join_left": ORACLE_Q71,
     "q41_ann_lsh": ORACLE_Q41,
     "q42_ann_ivf": ORACLE_Q42,
     "q64_north_star": ORACLE_Q64,

@@ -131,3 +131,55 @@ def test_sessionize_closes_gapped_sessions(spark, stream_dirs):
     # two CLOSED sessions emitted (the third stays open in state)
     assert list(got["n_events"]) == [2, 2]
     assert (got["session_end"] - got["session_start"]).tolist() == [600, 300]
+
+
+def test_watermarked_window_agg_drops_late_data(spark, stream_dirs):
+    """Watermark + tumbling window over a file stream: a record arriving
+    in a later batch but older than the watermark is dropped from the
+    append-mode output (late-data handling, SURVEY §2.9)."""
+    src, out, ckpt = stream_dirs
+
+    def write_batch(name, times_vals):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(len(times_vals)),
+                "ts": pd.to_datetime([t for t, _ in times_vals]).astype("datetime64[us]"),
+                "user_id": [1] * len(times_vals),
+                "event_type": ["click"] * len(times_vals),
+                "value": [v for _, v in times_vals],
+                "props": [""] * len(times_vals),
+            }
+        )
+        pdf.to_parquet(f"{src}/{name}.parquet", index=False)
+
+    def run_once():
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+            .select(F.col("win.start").alias("ws"), "cnt", "sv")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: two on-time events in hour 10, one in hour 12 (advances
+    # the watermark past hour 10+10min → hour-10 window finalizes)
+    write_batch("b1", [("2024-01-01 10:05:00", 1.0), ("2024-01-01 10:20:00", 2.0),
+                       ("2024-01-01 12:30:00", 4.0)])
+    run_once()
+    # batch 2: a LATE event for hour 10 (older than watermark) + fresh one
+    write_batch("b2", [("2024-01-01 10:40:00", 100.0), ("2024-01-01 13:10:00", 8.0)])
+    run_once()
+
+    got = spark.read.parquet(out).toPandas().set_index("ws").sort_index()
+    hour10 = got.loc["2024-01-01 10:00:00"]
+    assert hour10["cnt"] == 2 and hour10["sv"] == 3.0  # late 100.0 dropped
