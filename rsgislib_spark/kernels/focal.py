@@ -97,6 +97,90 @@ def focal_median(arr: np.ndarray, radius: int = 1) -> np.ndarray:
     return np.nanmedian(w.reshape(arr.shape[0], arr.shape[1], k * k), axis=2)
 
 
+def morph_opening(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """Grayscale opening = dilate(erode) (imagemorphology opening op)."""
+    return focal_max(focal_min(arr, radius), radius)
+
+
+def morph_closing(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """Grayscale closing = erode(dilate) (imagemorphology closing op)."""
+    return focal_min(focal_max(arr, radius), radius)
+
+
+def white_tophat(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """arr − opening (imagemorphology white top-hat)."""
+    return arr - morph_opening(arr, radius)
+
+
+def black_tophat(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """closing − arr (imagemorphology black top-hat)."""
+    return morph_closing(arr, radius) - arr
+
+
+def morph_gradient(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """dilate − erode (imagemorphology gradient) == focal_range."""
+    return focal_range(arr, radius)
+
+
+def kuwahara(arr: np.ndarray, radius: int = 2) -> np.ndarray:
+    """Kuwahara edge-preserving filter (apply_kuwahara_filter): the mean
+    of whichever of the four overlapping (r+1)² corner sub-windows has
+    the lowest variance. Vectorized: per-quadrant mean/var come from
+    shifted focal_sum_count grids; argmin selects per pixel."""
+    a = arr.astype(np.float64)
+    h, w = a.shape
+    r = radius
+    # quadrant stats via cumulative sums over (r+1)x(r+1) windows anchored
+    # at each of the 4 corners around the pixel
+    S = np.zeros((h + 1, w + 1))
+    S[1:, 1:] = np.cumsum(np.cumsum(a, 0), 1)
+    S2 = np.zeros((h + 1, w + 1))
+    S2[1:, 1:] = np.cumsum(np.cumsum(a * a, 0), 1)
+
+    def win_stats(y0, y1, x0, x1):
+        """means/vars of the inclusive window [y0:y1]x[x0:x1] per pixel,
+        where the bounds arrays are per-pixel and clipped."""
+        y0c, y1c = np.clip(y0, 0, h), np.clip(y1 + 1, 0, h)
+        x0c, x1c = np.clip(x0, 0, w), np.clip(x1 + 1, 0, w)
+        yy0 = y0c[:, None]
+        yy1 = y1c[:, None]
+        xx0 = x0c[None, :]
+        xx1 = x1c[None, :]
+        n = (yy1 - yy0) * (xx1 - xx0)
+        n = np.maximum(n, 1)
+        sm = S[yy1, xx1] - S[yy0, xx1] - S[yy1, xx0] + S[yy0, xx0]
+        s2 = S2[yy1, xx1] - S2[yy0, xx1] - S2[yy1, xx0] + S2[yy0, xx0]
+        mean = sm / n
+        var = s2 / n - mean * mean
+        return mean, var
+
+    ys = np.arange(h)
+    xs = np.arange(w)
+    quads = [
+        win_stats(ys - r, ys, xs - r, xs),  # NW
+        win_stats(ys - r, ys, xs, xs + r),  # NE
+        win_stats(ys, ys + r, xs - r, xs),  # SW
+        win_stats(ys, ys + r, xs, xs + r),  # SE
+    ]
+    means = np.stack([m for m, _ in quads])
+    variances = np.stack([v for _, v in quads])
+    pick = np.argmin(variances, axis=0)
+    return np.take_along_axis(means, pick[None], axis=0)[0]
+
+
+def lee_filter(arr: np.ndarray, radius: int = 1, noise_var: float | None = None) -> np.ndarray:
+    """Lee adaptive speckle filter (apply_lee_filter): out = mean +
+    k·(x − mean), k = var/(var + noise_var) from the local window."""
+    a = arr.astype(np.float64)
+    s, c = focal_sum_count(a, radius, dtype=np.float64)
+    mean = s / c
+    s2, _ = focal_sum_count(a * a, radius, dtype=np.float64)
+    var = np.maximum(s2 / c - mean * mean, 0.0)
+    nv = float(np.mean(var)) if noise_var is None else noise_var
+    k = var / (var + nv + 1e-12)
+    return mean + k * (a - mean)
+
+
 def sobel(arr: np.ndarray):
     """Sobel gradient pair (apply_sobel_x/y_filter); zero-padded edges."""
     a = np.pad(arr.astype(np.float64), 1, mode="edge")

@@ -142,3 +142,50 @@ def test_chebyshev_distance_transform_vs_brute():
     m[3, 4] = True
     assert buffer_mask(m, 2).sum() == 25  # 5x5 chessboard ball
     assert (chebyshev_distance_transform(np.zeros((4, 4), bool)) >= 1 << 30).all()
+
+
+def brute_kuwahara(a, r):
+    a = a.astype(np.float64)
+    h, w = a.shape
+    out = np.empty((h, w))
+    for y in range(h):
+        for x in range(w):
+            best = None
+            for (y0, y1, x0, x1) in [
+                (y - r, y, x - r, x), (y - r, y, x, x + r),
+                (y, y + r, x - r, x), (y, y + r, x, x + r),
+            ]:
+                win = a[max(y0, 0): y1 + 1, max(x0, 0): x1 + 1]
+                cand = (win.var(), win.mean())
+                if best is None or cand[0] < best[0]:
+                    best = cand
+            out[y, x] = best[1]
+    return out
+
+
+def test_morphology_composites(raster):
+    assert np.array_equal(FK.morph_opening(raster, 1),
+                          FK.focal_max(FK.focal_min(raster, 1), 1))
+    assert (FK.white_tophat(raster, 1) >= 0).all()   # opening <= arr
+    assert (FK.black_tophat(raster, 1) >= 0).all()   # closing >= arr
+    assert np.array_equal(FK.morph_gradient(raster, 1), FK.focal_range(raster, 1))
+
+
+def test_kuwahara_matches_brute(raster):
+    got = FK.kuwahara(raster, 2)
+    want = brute_kuwahara(raster, 2)
+    assert np.allclose(got, want)
+
+
+def test_kuwahara_preserves_step_edge():
+    a = np.zeros((12, 12)); a[:, 6:] = 100.0
+    out = FK.kuwahara(a, 2)
+    assert np.allclose(np.unique(out), [0.0, 100.0])  # no edge blur
+
+
+def test_lee_filter_limits(raster):
+    # huge noise variance -> output ~ local mean; zero noise -> ~identity
+    smooth = FK.lee_filter(raster, 1, noise_var=1e12)
+    assert np.allclose(smooth, FK.focal_mean(raster, 1), atol=1e-3)
+    sharp = FK.lee_filter(raster, 1, noise_var=0.0)
+    assert np.allclose(sharp, raster, atol=1e-6)
