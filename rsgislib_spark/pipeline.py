@@ -500,3 +500,22 @@ def north_star(
         F.max("max_v").alias("max_v"),
         F.round(F.sum("focal_sum") / F.sum("focal_cnt"), 6).alias("mean_focal"),
     )
+
+
+def north_star_resumable(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_buckets: int = 8,
+    replicate: int = 1,
+) -> dict:
+    """North-star with checkpoint-resumable output (north rule): per-zone
+    results land bucket-by-bucket with manifest commits + lineage rows —
+    a killed job re-invoked with the same ``out_dir`` skips every bucket
+    whose manifest row exists and recomputes nothing else."""
+    from rsgislib_spark.operators.manifest import resumable_write
+
+    result = north_star(spark, sf_dir, replicate=replicate)
+    return resumable_write(
+        result, out_dir, id_col="zone_id", n_buckets=n_buckets, stage="north_star"
+    )

@@ -1340,8 +1340,74 @@ FROM acc GROUP BY doc_id
 """
 
 
+def q73_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier train→broadcast→predict pattern (SURVEY §2.10:
+    sklearn/xgboost wrappers fit locally on extracted samples, predict
+    per block). Model = nearest-class-centroid on (f1,f2,f3), closed-form
+    from integer sums so the oracle reproduces training relationally:
+    train on is_train=1 (class = v ≥ 500), broadcast the centroids,
+    predict the held-out points, emit the confusion matrix."""
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark)
+    train = pts.filter("is_train = 1").withColumn(
+        "cls", (F.col("v") >= 500).cast("int")
+    )
+    cents = {
+        int(r["cls"]): (r["sf1"], r["sf2"], r["sf3"], r["n"])
+        for r in train.groupBy("cls").agg(
+            F.sum("f1").alias("sf1"), F.sum("f2").alias("sf2"),
+            F.sum("f3").alias("sf3"), F.count("*").alias("n"),
+        ).collect()
+    }
+
+    def d2(c):
+        sf1, sf2, sf3, n = cents[c]
+        # distance² to the centroid scaled by n² so everything stays in
+        # exact integer arithmetic: |n·x − Σf|²
+        return (
+            (F.col("f1") * n - sf1) * (F.col("f1") * n - sf1)
+            + (F.col("f2") * n - sf2) * (F.col("f2") * n - sf2)
+            + (F.col("f3") * n - sf3) * (F.col("f3") * n - sf3)
+        ) / F.lit(float(n * n))
+
+    test = pts.filter("is_train = 0").withColumn(
+        "true_cls", (F.col("v") >= 500).cast("int")
+    )
+    pred = F.when(d2(0) <= d2(1), 0).otherwise(1)
+    return (
+        test.withColumn("pred_cls", pred)
+        .groupBy("true_cls", "pred_cls")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+ORACLE_Q73 = _cte("""
+, train AS (
+  SELECT f1, f2, f3, CASE WHEN v >= 500 THEN 1 ELSE 0 END AS cls
+  FROM geo_points WHERE is_train = 1
+), c AS (
+  SELECT cls, SUM(f1) sf1, SUM(f2) sf2, SUM(f3) sf3, COUNT(*) n
+  FROM train GROUP BY cls
+), c0 AS (SELECT * FROM c WHERE cls = 0), c1 AS (SELECT * FROM c WHERE cls = 1),
+test AS (
+  SELECT p.f1, p.f2, p.f3, CASE WHEN p.v >= 500 THEN 1 ELSE 0 END AS true_cls,
+         ((p.f1 * c0.n - c0.sf1) * (p.f1 * c0.n - c0.sf1)
+          + (p.f2 * c0.n - c0.sf2) * (p.f2 * c0.n - c0.sf2)
+          + (p.f3 * c0.n - c0.sf3) * (p.f3 * c0.n - c0.sf3)) / CAST(c0.n * c0.n AS DOUBLE) AS d0,
+         ((p.f1 * c1.n - c1.sf1) * (p.f1 * c1.n - c1.sf1)
+          + (p.f2 * c1.n - c1.sf2) * (p.f2 * c1.n - c1.sf2)
+          + (p.f3 * c1.n - c1.sf3) * (p.f3 * c1.n - c1.sf3)) / CAST(c1.n * c1.n AS DOUBLE) AS d1
+  FROM geo_points p CROSS JOIN c0 CROSS JOIN c1
+  WHERE p.is_train = 0
+)
+SELECT true_cls, CASE WHEN d0 <= d1 THEN 0 ELSE 1 END AS pred_cls, COUNT(*) AS n
+FROM test GROUP BY 1, 2
+""")
+
+
 QUERIES_EXT = {
     "q64_north_star": q64_north_star,
+    "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
     "q68_distance_transform": q68_distance_transform,
     "q69_coarse_pixel_stats": q69_coarse_pixel_stats,
@@ -1449,6 +1515,7 @@ SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank FROM (
 
 ORACLES_EXT = {
     "q37_simhash": ORACLE_Q37,
+    "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,
     "q41_ann_lsh": ORACLE_Q41,
     "q42_ann_ivf": ORACLE_Q42,

@@ -176,3 +176,24 @@ def test_north_star_runs_and_replicates(spark):
     r3 = north_star(spark, "/root/testdata/sf0.001", replicate=3)
     tot3 = r3.agg(F.sum("n_images")).collect()[0][0]
     assert tot3 == 3 * tot1 > 0
+
+
+def test_north_star_resumable_skips_finished_buckets(spark, tmp_path):
+    from rsgislib_spark.operators.manifest import read_manifest, verify_against_manifest
+    from rsgislib_spark.pipeline import north_star, north_star_resumable
+
+    out = str(tmp_path / "ns_out")
+    r1 = north_star_resumable(spark, "/root/testdata/sf0.001", out, n_buckets=4)
+    assert sorted(r1["written"]) == [0, 1, 2, 3] and r1["skipped"] == []
+    # restart: all buckets skipped, nothing recomputed
+    r2 = north_star_resumable(spark, "/root/testdata/sf0.001", out, n_buckets=4)
+    assert r2["written"] == [] and sorted(r2["skipped"]) == [0, 1, 2, 3]
+    # lineage rows verify and the written rows equal a direct run
+    ok = verify_against_manifest(spark, out, "zone_id").toPandas()
+    assert ok["ok"].all()
+    import os
+    written = spark.read.option("basePath", out).parquet(
+        *[f"{out}/{d}" for d in os.listdir(out) if d.startswith("bucket=")]
+    ).drop("bucket")
+    direct = north_star(spark, "/root/testdata/sf0.001")
+    assert sorted(map(tuple, written.collect())) == sorted(map(tuple, direct.collect()))
