@@ -1360,6 +1360,11 @@ def q73_centroid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     }
 
+    if len(cents) < 2:
+        # a class absent from training ⇒ no model; the oracle's CROSS
+        # JOIN with the empty centroid CTE yields zero rows — mirror it
+        return spark.createDataFrame([], "true_cls int, pred_cls int, n long")
+
     def d2(c):
         sf1, sf2, sf3, n = cents[c]
         # distance² to the centroid scaled by n² so everything stays in
