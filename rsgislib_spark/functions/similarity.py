@@ -108,11 +108,17 @@ def cosine_topk_bruteforce(
 def sign_bucket(df: DataFrame, ref_vectors: list, vec_col: str = "embedding",
                 out: str = "bucket") -> DataFrame:
     """LSH bucket id = sign bits of dot(v, ref_i) — deterministic
-    hyperplane family from fixed reference vectors."""
+    hyperplane family from fixed reference vectors.
+
+    The sign test runs on the ROUNDED dot (6 digits) so a last-ulp
+    difference between engines' summation orders near zero cannot flip a
+    bucket bit (module rule: rank/threshold on rounded scores only)."""
     bucket = F.lit(0)
     for i, ref in enumerate(ref_vectors):
         ref_arr = F.array(*[F.lit(float(x)) for x in ref])
-        bit = F.when(_dot(F.col(vec_col), ref_arr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(
+            F.round(_dot(F.col(vec_col), ref_arr), 6) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
         bucket = bucket + bit
     return df.withColumn(out, bucket)
 
@@ -166,8 +172,15 @@ def ivf_topk(
     )
     v = vectors.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("v_vec"))
     # assign vectors to nearest centroid (argmax cosine)
+    # assignment ranks on the ROUNDED cosine (module rule) so a last-ulp
+    # engine difference near a tie cannot flip which centroid list a
+    # vector lands in
     va = v.crossJoin(F.broadcast(cents)).withColumn(
-        "cos_c", _dot(F.col("v_vec"), F.col("c_vec")) / (_norm(F.col("v_vec")) * _norm(F.col("c_vec")))
+        "cos_c",
+        F.round(
+            _dot(F.col("v_vec"), F.col("c_vec")) / (_norm(F.col("v_vec")) * _norm(F.col("c_vec"))),
+            6,
+        ),
     )
     wv = W.partitionBy("nbr_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
     assigned = va.withColumn("rn", F.row_number().over(wv)).filter("rn = 1").select(
@@ -175,7 +188,11 @@ def ivf_topk(
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     qa = q.crossJoin(F.broadcast(cents)).withColumn(
-        "cos_c", _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec")))
+        "cos_c",
+        F.round(
+            _dot(F.col("q_vec"), F.col("c_vec")) / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+            6,
+        ),
     )
     wq = W.partitionBy("query_id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
     probes = qa.withColumn("rn", F.row_number().over(wq)).filter(

@@ -149,6 +149,23 @@ def tile_windows_overlap(
     Returns (n,6) rows ``(tile_x, tile_y, x0, y0, tw, th)`` (0-based tile
     indices over the anchor grid including offset/remainder tiles).
     """
+    return tile_windows_overlap_anchored(w, h, tile_w, tile_h, overlap, offset)[:, :6]
+
+
+def tile_windows_overlap_anchored(
+    w: int, h: int, tile_w: int, tile_h: int, overlap: int = 0, offset: bool = False
+) -> np.ndarray:
+    """Like :func:`tile_windows_overlap` but each row also carries the
+    un-expanded anchor window: (n,10) rows
+    ``(tile_x, tile_y, x0, y0, tw, th, ax0, ay0, aw, ah)``.
+
+    Consumers that crop the halo back out must derive the interior from
+    the anchor span (``iy0 = ay0 - y0; iy1 = iy0 + ah``), never by
+    inferring from the expanded window's position — when an image
+    dimension mod tile is in (0, overlap], the expanded window of an
+    interior tile reaches the image edge while a remainder tile still
+    exists, and position-based inference double-counts the halo.
+    """
 
     def axis_anchors(size, tsize):
         anchors = []  # (start, span)
@@ -177,8 +194,10 @@ def tile_windows_overlap(
             xmax = min(x0 + xspan + overlap, w)
             ymin = max(y0 - overlap, 0)
             ymax = min(y0 + yspan + overlap, h)
-            rows.append((tx, ty, xmin, ymin, xmax - xmin, ymax - ymin))
-    return np.asarray(rows, dtype=np.int64).reshape(-1, 6)
+            rows.append(
+                (tx, ty, xmin, ymin, xmax - xmin, ymax - ymin, x0, y0, xspan, yspan)
+            )
+    return np.asarray(rows, dtype=np.int64).reshape(-1, 10)
 
 
 def block_windows_anchored(w: int, h: int, block: int) -> np.ndarray:

@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from rsgislib_spark.kernels import focal as FK
-from rsgislib_spark.kernels.pixelmath import tile_windows_overlap
+from rsgislib_spark.kernels.pixelmath import tile_windows_overlap_anchored
 
 KERNELS = {
     "mean": FK.focal_mean,
@@ -64,17 +64,18 @@ def focal_stats_tiled(
                 total_c = 0
                 # halo-tile loop: mirrors multi-task execution shape even
                 # within one image (tiles would be separate rows at scale)
-                for tx, ty, x0, y0, tw, th in tile_windows_overlap(
-                    w, h, tile, tile, overlap=radius
+                for tx, ty, x0, y0, tw, th, ax0, ay0, aw, ah in (
+                    tile_windows_overlap_anchored(w, h, tile, tile, overlap=radius)
                 ):
                     sub = grid[y0 : y0 + th, x0 : x0 + tw]
                     s, c = FK.focal_sum_count(sub, radius)
-                    # interior crop: drop halo pixels (they belong to the
-                    # neighbouring tile's interior)
-                    iy0 = radius if y0 > 0 else 0
-                    ix0 = radius if x0 > 0 else 0
-                    iy1 = th - radius if y0 + th < h else th
-                    ix1 = tw - radius if x0 + tw < w else tw
+                    # interior crop = the un-expanded anchor span; deriving
+                    # it from the expanded window's position double-counts
+                    # the halo when size % tile is in (0, radius]
+                    iy0 = ay0 - y0
+                    ix0 = ax0 - x0
+                    iy1 = iy0 + ah
+                    ix1 = ix0 + aw
                     # edge-of-tile windows are clipped at the tile edge, but
                     # interior pixels with a full halo see the true window —
                     # recompute nothing; the halo guarantees correctness

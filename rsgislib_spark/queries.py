@@ -22,108 +22,24 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings"
-).split()
-
-
-def load_views(spark: SparkSession, sf_dir: str) -> None:
-    for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
-
-
-# --------------------------------------------------------------------------
-# Shared derivation SQL (runs verbatim in Spark AND DuckDB)
-# --------------------------------------------------------------------------
-
-GEO_IMAGES_SQL = """
-SELECT image_key,
-       CAST(minx_i AS DOUBLE) AS minx,
-       CAST(miny_i AS DOUBLE) AS miny,
-       CAST(minx_i + w * 10 AS DOUBLE) AS maxx,
-       CAST(miny_i + h * 10 AS DOUBLE) AS maxy,
-       w, h
-FROM (
-  SELECT p_partkey AS image_key,
-         CASE WHEN p_partkey % 5 = 0
-              THEN 50000 + (p_partkey % 97) * 10
-              ELSE (p_partkey * 9973) % 99000 END AS minx_i,
-         CASE WHEN p_partkey % 5 = 0
-              THEN 50000 + ((p_partkey * 3) % 97) * 10
-              ELSE (p_partkey * 6151) % 99000 END AS miny_i,
-         CAST(64 + (p_partkey % 4) * 64 AS INT) AS w,
-         CAST(64 + ((p_partkey * 7) % 4) * 64 AS INT) AS h
-  FROM part
-) t
-"""
-
-GEO_ZONES_SQL = """
-SELECT zone_id,
-       CAST(zminx_i AS DOUBLE) + 0.25 AS minx,
-       CAST(zminy_i AS DOUBLE) + 0.25 AS miny,
-       CAST(zminx_i + zw AS DOUBLE) + 0.25 AS maxx,
-       CAST(zminy_i + zh AS DOUBLE) + 0.25 AS maxy,
-       class_name
-FROM (
-  SELECT s_suppkey AS zone_id,
-         CASE WHEN s_suppkey % 10 = 0
-              THEN 45000 + (s_suppkey % 7) * 100
-              ELSE (s_suppkey * 7919) % 90000 END AS zminx_i,
-         CASE WHEN s_suppkey % 10 = 0
-              THEN 45000 + ((s_suppkey * 3) % 7) * 100
-              ELSE (s_suppkey * 104729) % 90000 END AS zminy_i,
-         2000 + (s_suppkey % 12) * 1500 AS zw,
-         2000 + ((s_suppkey * 5) % 12) * 1500 AS zh,
-         CASE s_suppkey % 4 WHEN 0 THEN 'forest' WHEN 1 THEN 'grass'
-              WHEN 2 THEN 'urban' ELSE 'water' END AS class_name
-  FROM supplier
-) t
-"""
-
-GEO_POINTS_SQL = """
-SELECT c_custkey AS pt_id,
-       CAST((c_custkey * 48271) % 100000 AS DOUBLE) + 0.5 AS x,
-       CAST((c_custkey * 16807) % 100000 AS DOUBLE) + 0.5 AS y,
-       CAST(c_custkey % 1000 AS DOUBLE) AS v,
-       (c_custkey * 13) % 2000 AS f1,
-       (c_custkey * 29) % 2000 AS f2,
-       (c_custkey * 31) % 2000 AS f3,
-       CASE WHEN c_custkey % 10 < 7 THEN 1 ELSE 0 END AS is_train
-FROM customer
-"""
-
-
-def _cte(body: str) -> str:
-    return (
-        f"WITH geo_images AS ({GEO_IMAGES_SQL}), geo_zones AS ({GEO_ZONES_SQL}), "
-        f"geo_points AS ({GEO_POINTS_SQL}) {body}"
-    )
-
-
-def _geo_images(spark: SparkSession) -> DataFrame:
-    return spark.sql(GEO_IMAGES_SQL)
-
-
-def _geo_zones(spark: SparkSession) -> DataFrame:
-    return spark.sql(GEO_ZONES_SQL)
-
-
-def _geo_points(spark: SparkSession) -> DataFrame:
-    return spark.sql(GEO_POINTS_SQL)
-
-
-def _zones_with_wkb(spark: SparkSession) -> pd.DataFrame:
-    """Zone rects as WKB polygons (driver-side; zone side is small)."""
-    from rsgislib_spark.kernels import geom
-
-    zp = _geo_zones(spark).toPandas()
-    zp["geometry"] = [
-        geom.polygon_to_wkb(
-            [np.array([[r.minx, r.miny], [r.maxx, r.miny], [r.maxx, r.maxy], [r.minx, r.maxy]])]
-        )
-        for r in zp.itertuples(index=False)
-    ]
-    return zp
+# Shared primitives live in qcommon (re-exported here for callers/tests)
+# so queries ⇄ queries_ext never forms an import cycle — a cycle is
+# load-order-dependent and crashes Python workers that unpickle a
+# queries_ext closure first.
+from rsgislib_spark.qcommon import (  # noqa: F401
+    CELL,
+    GEO_IMAGES_SQL,
+    GEO_POINTS_SQL,
+    GEO_ZONES_SQL,
+    GRID_DIM,
+    TABLES,
+    _cte,
+    _geo_images,
+    _geo_points,
+    _geo_zones,
+    _zones_with_wkb,
+    load_views,
+)
 
 
 # --------------------------------------------------------------------------
@@ -337,10 +253,6 @@ GROUP BY 1
 # --------------------------------------------------------------------------
 # Spatial family
 # --------------------------------------------------------------------------
-
-CELL = 4096
-GRID_DIM = 1 << 21
-
 
 def q10_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Footprint→cell assignment via the engine's vectorized cell kernel

@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from rsgislib_spark.queries import (
+from rsgislib_spark.qcommon import (
     CELL,
     GRID_DIM,
     _cte,
@@ -31,6 +31,14 @@ from rsgislib_spark.queries import (
     _zones_with_wkb,
     load_views,
 )
+
+
+def _round_half_away(x: float, digits: int) -> float:
+    """DuckDB/Spark ROUND semantics: half away from zero (Python round()
+    is banker's half-to-even, a cross-engine exactness hazard)."""
+    s = 10.0 ** digits
+    return float(np.copysign(np.floor(abs(x) * s + 0.5) / s, x))
+
 
 # ---------------------------------------------------------------- sorts
 
@@ -1158,7 +1166,9 @@ def q67_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sum_rho = (np.pi * sum_l * float(d) * float(d)) / (
                         CAL.ESUN[band] * cos_sza
                     )
-                    out += [round(sum_l, 4), round(sum_rho, 4)]
+                    # half-away-from-zero like DuckDB ROUND (Python round()
+                    # is banker's half-to-even — a cross-engine hazard)
+                    out += [_round_half_away(sum_l, 4), _round_half_away(sum_rho, 4)]
                 rows.append(tuple(out))
             yield pd.DataFrame(
                 rows,
@@ -1458,7 +1468,7 @@ WITH refs AS (
   FROM embeddings WHERE vec_id < 3
 ), b AS (
   SELECT e.vec_id,
-         CAST(SUM(CASE WHEN list_inner_product(CAST(e.embedding AS DOUBLE[]), refs.r) >= 0
+         CAST(SUM(CASE WHEN ROUND(list_inner_product(CAST(e.embedding AS DOUBLE[]), refs.r), 6) >= 0
                   THEN 1 << CAST(refs.ref_id AS INT) ELSE 0 END) AS INT) AS bucket
   FROM embeddings e CROSS JOIN refs GROUP BY e.vec_id
 ), qb AS (SELECT vec_id AS query_id, bucket FROM b WHERE vec_id >= 3 AND vec_id < 8),
@@ -1484,7 +1494,7 @@ WITH cents AS (
   FROM embeddings ORDER BY vec_id LIMIT 8
 ), va AS (
   SELECT e.vec_id AS nbr_id, c.cent_id,
-         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) AS cos_c
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c), 6) AS cos_c
   FROM embeddings e CROSS JOIN cents c
 ), assigned AS (
   SELECT nbr_id, cent_id FROM (
@@ -1494,7 +1504,7 @@ WITH cents AS (
   ) WHERE rn = 1
 ), qa AS (
   SELECT e.vec_id AS query_id, c.cent_id,
-         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c) AS cos_c
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c), 6) AS cos_c
   FROM embeddings e CROSS JOIN cents c
   WHERE e.vec_id >= 3 AND e.vec_id < 8
 ), probes AS (

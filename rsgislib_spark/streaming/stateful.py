@@ -7,8 +7,10 @@ stream needs:
  - :func:`running_user_totals` — per-key running aggregates with state
    (GroupState), the streaming analogue of the RAT's dynamically-grown
    zone table;
- - :func:`sessionize` — gap-based session windows over event time with
-   watermarked late-data handling.
+ - :func:`sessionize` — gap-based session windows over event time; a
+   cross-batch late event older than the open session's tail is absorbed
+   into that session without rewinding its end (no watermark is applied —
+   late data is never dropped, only folded in).
 
 Both use `applyInPandasWithState` (Arrow-batched per group, no per-row
 Python) and run identically under `availableNow` for resumable backfill.
@@ -77,7 +79,10 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             if t - s1 > gap_seconds:
                 closed.append((user_id, s0, s1, n))
                 s0, n = t, 0
-            s1 = t
+            # a cross-batch late event (t <= stored tail s1) must not
+            # rewind session_end — the gap test runs against the running
+            # max of the open session's event times
+            s1 = max(s1, t)
             n += 1
         state.update((s0, s1, n))
         yield pd.DataFrame(

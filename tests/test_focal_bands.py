@@ -105,6 +105,25 @@ def test_focal_operator_matches_whole_array(spark):
         assert got[key] == (int(s.sum()), int(c.sum()))
 
 
+def test_focal_operator_remainder_tile_equals_radius(spark):
+    """Regression: when size % tile is in (0, radius], the expanded window
+    of an interior tile reaches the image edge while a remainder tile
+    still exists; the interior crop must come from the anchor span, not
+    halo inference, or halo pixels double-count."""
+    from rsgislib_spark.operators.focal import focal_stats_tiled
+
+    cases = [(901, 33, 33), (902, 65, 64), (903, 37, 33)]  # 33%32=1==radius
+    imgs = spark.createDataFrame(cases, "image_key long, w int, h int")
+    got = {
+        r["image_key"]: (r["sum_focal_sum"], r["sum_focal_cnt"])
+        for r in focal_stats_tiled(imgs, "sum_count", radius=1, tile=32).collect()
+    }
+    for key, w, h in cases:
+        grid = BK.synth_band_grid(key, w, h, "red")
+        s, c = FK.focal_sum_count(grid, 1)
+        assert got[key] == (int(s.sum()), int(c.sum())), (key, w, h)
+
+
 def test_hash_bucket_stable_and_partition_invariant(spark):
     from pyspark.sql import functions as F
 

@@ -133,6 +133,51 @@ def test_sessionize_closes_gapped_sessions(spark, stream_dirs):
     assert (got["session_end"] - got["session_start"]).tolist() == [600, 300]
 
 
+def test_sessionize_cross_batch_late_event_does_not_rewind(spark, stream_dirs):
+    """Regression: a late event in a later batch, older than the open
+    session's stored tail, must be folded into the session WITHOUT
+    rewinding session_end (the gap test runs against the running max)."""
+    from rsgislib_spark.streaming.stateful import sessionize
+
+    src, out, ckpt = stream_dirs
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_batch(name, times):
+        pdf = pd.DataFrame(
+            {"event_id": range(len(times)),
+             "ts": pd.to_datetime(times).astype("datetime64[us]"),
+             "user_id": [1] * len(times), "event_type": ["click"] * len(times),
+             "value": [1.0] * len(times), "props": [""] * len(times)}
+        )
+        pdf.to_parquet(f"{src}/{name}.parquet", index=False)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            sessionize(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch("b1", ["2024-01-01 00:00:00", "2024-01-01 00:10:00"])
+    run_once()
+    # 00:05 is LATE (older than the stored tail 00:10); 01:30 proves the gap
+    write_batch("b2", ["2024-01-01 00:05:00", "2024-01-01 01:30:00"])
+    run_once()
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    # end stays 00:10 (600s), not rewound to the late 00:05; n folds in the late event
+    assert int(row["session_start"]) % 86400 == 0
+    assert int(row["session_end"]) - int(row["session_start"]) == 600
+    assert int(row["n_events"]) == 3
+
+
 def test_watermarked_window_agg_drops_late_data(spark, stream_dirs):
     """Watermark + tumbling window over a file stream: a record arriving
     in a later batch but older than the watermark is dropped from the
