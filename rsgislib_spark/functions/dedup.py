@@ -7,8 +7,9 @@ Scale shapes:
    signatures → self-join on (band, signature) — the classic
    shingle→minhash→band→bucket-join pipeline; candidate pairs only, the
    exact Jaccard verify joins back token sets for candidates only.
- - SimHash: vectorized pandas UDF (bit-majority over token hashes),
-   bucket by hash prefix bands for candidate pairing.
+ - SimHash: pure Catalyst (tokens explode → JVM md5 → 64 conditional-sum
+   aggregates → bit reassembly); bucket by hash prefix bands for
+   candidate pairing.
  - phash: Hamming-ball grouping over the int64 phash column via 4-band
    exact-match blocking (any near-dup within radius r<=k bits shares at
    least one of k+1 bands — pigeonhole).
@@ -94,23 +95,52 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_token_df: int | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard over all pairs via token inverted index:
-    explode → self-join on token → |A∩B| counts → sizes join → filter.
+    """Exact token-set Jaccard via token inverted index: explode →
+    self-join on token → |A∩B| counts → sizes join → filter.
 
-    At scale this runs AFTER LSH blocking (candidates only); standalone it
-    is the verify stage of the dedup pipeline.
+    ``max_token_df`` is the FREQUENT-TOKEN FENCE for standalone use at
+    scale: the inverted-index self-join produces O(df²) pairs per token,
+    so one stop-word token with df=10⁶ yields 10¹² pairs. With the fence
+    set, tokens with document frequency > max_token_df are excluded from
+    CANDIDATE GENERATION only — the Jaccard of every surviving pair is
+    still computed EXACTLY over the full token sets (a second equi-join
+    back to the index, linear in the candidates' token counts). Pairs
+    overlapping ONLY in frequent tokens are missed by design; with a cap
+    c and min doc size m their Jaccard is < c·(number of frequent shared
+    tokens)/m, far below useful thresholds. Without the fence (default),
+    behaviour is the classic exact all-pairs index join — the verify
+    stage after LSH blocking, where the input is already candidates.
     """
     toks = doc_tokens(df, id_col, text_col)
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
+    if max_token_df is not None:
+        tok_df = toks.groupBy("token").agg(F.count("*").alias("tdf"))
+        rare = tok_df.filter(F.col("tdf") <= max_token_df).select("token")
+        idx = toks.join(rare, "token")
+    else:
+        idx = toks
+    a = idx.alias("a")
+    b = idx.alias("b")
+    cand = (
         a.join(b, "token")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
     )
+    if max_token_df is not None:
+        # exact |A∩B| over FULL token sets, candidates only
+        cand = cand.distinct()
+        ta = toks.select(F.col(id_col).alias("id_a"), F.col("token").alias("tok_a"))
+        tb = toks.select(F.col(id_col).alias("_idb"), F.col("token").alias("tok_b"))
+        inter = (
+            cand.join(ta, "id_a")
+            .join(tb, (F.col("id_b") == F.col("_idb")) & (F.col("tok_a") == F.col("tok_b")))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = cand.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("na"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("nb"))
     return (
@@ -126,29 +156,33 @@ def ngram_jaccard_pairs(
 
 def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc (bit-majority of token hash vectors) —
-    vectorized pandas UDF (bit unpack not expressible in builtins)."""
+    PURE Catalyst: tokens explode → JVM md5 → 64 conditional-sum
+    aggregates (map-side partial combine, whole-stage codegen) → bit
+    reassembly. Zero Python in the hot path; one shuffle on doc_id.
 
-    @F.pandas_udf("long")
-    def _simhash(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in set((t or "").split()):
-                hv = int.from_bytes(
-                    hashlib.md5(tok.encode()).digest()[:8], "big", signed=False
-                )
-                bits = (hv >> np.arange(64, dtype=np.uint64)) & 1
-                acc += np.where(bits.astype(bool), 1, -1)
-            h = np.uint64(0)
-            for b in range(64):
-                if acc[b] > 0:
-                    h |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(h.astype(np.uint64).view(np.int64))
-        return pd.Series(out)
-
-    return df.select(id_col, _simhash(F.col(text_col)).alias("simhash"))
+    Hash semantics (shared with the DuckDB oracle): hv = big-endian
+    uint64 of md5(token) bytes 0..7; bit b of the signature is the
+    majority sign of Σ±1 over tokens' bit b, ties → 0. The hex prefix
+    splits as chars 1-8 = high 32 bits, 9-16 = low 32 bits."""
+    toks = doc_tokens(df, id_col, text_col).withColumn("h", F.md5("token"))
+    halves = toks.select(
+        id_col,
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    aggs = []
+    for b in range(64):
+        src, sh = (F.col("lo"), b) if b < 32 else (F.col("hi"), b - 32)
+        bit = F.shiftrightunsigned(src, sh).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit * 2 - 1).alias(f"a{b}"))
+    acc = halves.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        weight = F.lit(-(1 << 63)).cast("long") if b == 63 else F.lit(1 << b).cast("long")
+        sim = sim + F.when(F.col(f"a{b}") > 0, weight).otherwise(F.lit(0).cast("long"))
+    out = acc.select(id_col, sim.alias("simhash"))
+    # token-less docs (empty text) keep the all-zero signature
+    return df.select(id_col).join(out, id_col, "left").fillna({"simhash": 0})
 
 
 def phash_near_dups(images: DataFrame, id_col: str = "image_id", max_bits: int = 3) -> DataFrame:

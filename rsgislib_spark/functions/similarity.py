@@ -37,17 +37,31 @@ def cosine_block_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 500_000,
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold via broadcast matrix + per-batch BLAS
-    matmul — the scale path for near-dup mining (each task computes a
-    (batch × all) block of the similarity matrix; the full matrix never
-    materializes). ~1000× the throughput of per-pair array folds; used
-    when bit-exact SQL-oracle parity is not required (BLAS summation
-    order differs from a sequential fold in the last ulp)."""
+    matmul (each task computes a (batch × all) block of the similarity
+    matrix; the full matrix never materializes). ~1000× the throughput of
+    per-pair array folds; used when bit-exact SQL-oracle parity is not
+    required (BLAS summation order differs from a sequential fold in the
+    last ulp).
+
+    CEILING: the reference matrix is collected to the driver and
+    broadcast, so this is the BROADCAST-SCALE path only — it raises
+    above ``max_broadcast_rows`` (500k rows × 768-dim float64 ≈ 3 GB).
+    Beyond that, bucket first: ``lsh_bucketed_topk`` / ``ivf_topk`` are
+    the unbounded-N paths; or call this per LSH bucket."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
+    n = emb.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"cosine_block_pairs broadcasts the full matrix: {n} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}. Use lsh_bucketed_topk/"
+            "ivf_topk, or run per LSH bucket."
+        )
     pdf = emb.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy(np.int64)
     M = np.stack([np.asarray(v, np.float64) for v in pdf[vec_col]])

@@ -15,23 +15,241 @@
    raises on ties; we break ties deterministically by smallest train id
    (documented deviation, SURVEY §2.3).
 
-Physical shape: the training side is broadcast (small by construction —
-it is the labelled sample set); each Arrow batch of apply rows computes a
-vectorized chunked distance matrix. For huge training sets the
-cell-bucketed two-phase join (bucket by cell, k-ring expand) applies —
-see ``knn_points_bucketed``.
+ - :func:`knn_points_bucketed` — the SCALE path (the north rule's "kNN
+   neighbor lookup over cell-bucketed candidates"): both sides bucketed
+   to grid cells, candidates = query's k-ring of cells (equi-join, no
+   broadcast of the point table), exact refine + ``row_number() <= k``.
+   A ring-doubling escalation loop guarantees exactness: a query is
+   resolved only when its kth-neighbour distance is within the ring's
+   coverage guarantee (any point outside ring R is at distance
+   > R·cell), so bucketed == brute-force always.
+
+ - :func:`radius_count_bucketed` — radius count on the same cell join
+   (cell ≥ r ⇒ ring-1 covers the disk), replacing the O(N²) theta-join.
+
+Physical shape: ``knn_apply``/``closest_point_join``/``radius_count``
+broadcast the training/match side — the documented FAST PATH when that
+side is small (it is the labelled sample set by construction). The
+``*_bucketed`` operators are the default at scale: shuffle on the cell
+key only, candidates per query bounded by local density, skew handled
+by the same salting policy as the spatial join.
 """
 
 from __future__ import annotations
 
+import math
 from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window as W, functions as F
 
 METRICS = ("euclidean", "manhattan", "chebyshev", "minkowski", "mahalanobis")
 SUMMARIES = ("mean", "median", "mode", "min", "max", "stddev")
+
+#: Linear cell-key grid dimension (matches kernels.cells.linear_cell).
+GRID_DIM = 1 << 21
+
+
+def _ring_offsets_expr(ring: int):
+    """(2·ring+1)² cell offsets as an explodable Catalyst expression —
+    the k-ring expansion stays JVM-side (no UDF, no driver loop over
+    offsets)."""
+    return F.expr(
+        f"explode(flatten(transform(sequence({-ring}, {ring}), "
+        f"dx -> transform(sequence({-ring}, {ring}), "
+        f"dy -> named_struct('dx', dx, 'dy', dy)))))"
+    )
+
+
+def _with_cell_key(df: DataFrame, cell: float, x: str, y: str, out: str) -> DataFrame:
+    return df.withColumn(
+        out,
+        F.floor(F.col(x) / F.lit(cell)).cast("long") * F.lit(GRID_DIM)
+        + F.floor(F.col(y) / F.lit(cell)).cast("long"),
+    )
+
+
+def knn_points_bucketed(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 12,
+    cell: float = 4096.0,
+    dist_thres: float = np.inf,
+    id_col: str = "pt_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact spatial kNN over CELL-BUCKETED candidates — the scale path
+    promised by the north rule and by ``apply_rat_knn``'s contract
+    (ref: src/rastergis/RSGISRATKNN.cpp:390-420, which linearly scans
+    all training rows; here the scan is restricted to the k-ring).
+
+    Two-phase plan, pure Catalyst (no UDF, NO broadcast of ``points``):
+
+    1. bucket ``points`` by cell key; explode each query to its ring of
+       candidate cells; equi-join on the cell key (shuffle_hash hint so
+       the optimizer never broadcasts the point table);
+    2. exact refine: dist² + ``row_number() ≤ k`` per query.
+
+    Exactness: any point outside ring R is at distance > R·cell from the
+    query, so a query is RESOLVED once its kth-candidate distance is
+    ≤ R·cell (or R·cell ≥ dist_thres / the world span). Unresolved
+    queries re-run with a doubled ring — each round is a distributed
+    pass over only the remaining queries, so the common case is one
+    round plus a cheap empty check.
+
+    Neighbours at ``dist >= dist_thres`` are excluded (strict ``<``,
+    matching knn_apply / the reference's dist_thres test). Queries with
+    fewer than k in-threshold neighbours return fewer rows.
+
+    Returns (query_id, nbr_id, d2, rank) with rank 1..k ordered by
+    (d2, nbr_id) — deterministic across engines when coordinates live
+    on an integer lattice (d2 is then integer-valued).
+    """
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(x_col).cast("double").alias("qx"),
+        F.col(y_col).cast("double").alias("qy"),
+    )
+    t = points.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(x_col).cast("double").alias("tx"),
+        F.col(y_col).cast("double").alias("ty"),
+    )
+    t = _with_cell_key(t, cell, "tx", "ty", "cell_key")
+
+    stats = points.agg(
+        (F.max(x_col) - F.min(x_col)).alias("sx"),
+        (F.max(y_col) - F.min(y_col)).alias("sy"),
+        F.count("*").alias("n"),
+    ).first()
+    world_span = max(float(stats["sx"] or 0.0), float(stats["sy"] or 0.0))
+    n_points = int(stats["n"])
+    # ring that covers every point from any query — the forced last round
+    max_ring = max(1, int(math.ceil(world_span / cell)) + 1)
+    thres2 = dist_thres * dist_thres
+
+    # density-informed initial ring: radius expected to contain k points
+    # (self-corrects a badly-undersized cell choice — e.g. sparse data —
+    # without paying many escalation rounds)
+    area = max(world_span, cell) ** 2
+    density = n_points / area if area > 0 else 0.0
+    if density > 0:
+        r_expect = math.sqrt((k + 1) / (math.pi * density))
+        ring = max(1, int(math.ceil(r_expect / cell)))
+    else:
+        ring = 1
+    ring = min(ring, max_ring)
+    # beyond this ring the (2r+1)² cell explode costs more than a plain
+    # repartition cross-join of the (few) remaining queries × points
+    XJOIN_RING = 48
+
+    remaining = q0.withColumn(
+        "_qix", F.floor(F.col("qx") / F.lit(cell)).cast("long")
+    ).withColumn("_qiy", F.floor(F.col("qy") / F.lit(cell)).cast("long"))
+
+    outs = []
+    while True:
+        ring = min(ring, max_ring)
+        final_round = ring >= max_ring or ring * cell >= dist_thres
+        base = remaining.select("query_id", "qx", "qy", "_qix", "_qiy")
+        if final_round and ring > XJOIN_RING:
+            # exact last resort: all points are candidates (no broadcast —
+            # Spark cartesian shuffles both sides)
+            cand = base.drop("_qix", "_qiy").crossJoin(t.drop("cell_key"))
+        else:
+            qe = base.select("*", _ring_offsets_expr(ring).alias("o")).withColumn(
+                "cell_key",
+                (F.col("_qix") + F.col("o.dx")) * F.lit(GRID_DIM)
+                + (F.col("_qiy") + F.col("o.dy")),
+            )
+            cand = qe.join(t.hint("shuffle_hash"), "cell_key")
+        if exclude_self:
+            cand = cand.filter(F.col("query_id") != F.col("nbr_id"))
+        cand = cand.withColumn(
+            "d2",
+            (F.col("qx") - F.col("tx")) * (F.col("qx") - F.col("tx"))
+            + (F.col("qy") - F.col("ty")) * (F.col("qy") - F.col("ty")),
+        )
+        if np.isfinite(dist_thres):
+            cand = cand.filter(F.col("d2") < F.lit(thres2))
+        win = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("nbr_id"))
+        ranked = (
+            cand.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nbr_id", "d2", "rank")
+        )
+        if final_round:
+            outs.append(ranked)
+            break
+        ranked = ranked.persist()
+        guar2 = float(ring * cell) ** 2
+        resolved = (
+            ranked.groupBy("query_id")
+            .agg(F.count("*").alias("cnt"), F.max("d2").alias("maxd2"))
+            .filter((F.col("cnt") >= k) & (F.col("maxd2") <= F.lit(guar2)))
+            .select("query_id")
+        )
+        outs.append(ranked.join(resolved, "query_id"))
+        remaining = remaining.join(resolved, "query_id", "left_anti").persist()
+        if remaining.isEmpty():
+            break
+        ring *= 4
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def radius_count_bucketed(
+    points: DataFrame,
+    radius: float,
+    id_col: str = "pt_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    cell: float | None = None,
+) -> DataFrame:
+    """Count of OTHER points within ``radius`` via the cell equi-join —
+    the scale path of ``calc_npts_in_radius`` (ref
+    vectorattrs/__init__.py:997-1049). With ``cell ≥ radius`` the ring-1
+    neighbourhood covers the whole disk, so candidates are exact; the
+    refine keeps ``d2 ≤ r²``. The self-pair (d2 = 0) always joins, so an
+    inner join + count-1 yields 0 for isolated points without a left
+    join. Pure Catalyst; no broadcast of the point table; one shuffle on
+    the cell key + one on the id for the count."""
+    cell = float(cell if cell is not None else radius)
+    if cell < radius:
+        raise ValueError("cell must be >= radius for ring-1 coverage")
+    t = points.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col(x_col).cast("double").alias("tx"),
+        F.col(y_col).cast("double").alias("ty"),
+    )
+    t = _with_cell_key(t, cell, "tx", "ty", "cell_key")
+    q = points.select(
+        F.col(id_col).alias("query_id"),
+        F.col(x_col).cast("double").alias("qx"),
+        F.col(y_col).cast("double").alias("qy"),
+    ).withColumn("_qix", F.floor(F.col("qx") / F.lit(cell)).cast("long")).withColumn(
+        "_qiy", F.floor(F.col("qy") / F.lit(cell)).cast("long")
+    )
+    qe = q.select("*", _ring_offsets_expr(1).alias("o")).withColumn(
+        "cell_key",
+        (F.col("_qix") + F.col("o.dx")) * F.lit(GRID_DIM)
+        + (F.col("_qiy") + F.col("o.dy")),
+    )
+    r2 = float(radius) * float(radius)
+    cand = qe.join(t.hint("shuffle_hash"), "cell_key").filter(
+        (F.col("qx") - F.col("tx")) * (F.col("qx") - F.col("tx"))
+        + (F.col("qy") - F.col("ty")) * (F.col("qy") - F.col("ty"))
+        <= F.lit(r2)
+    )
+    return cand.groupBy(F.col("query_id").alias(id_col)).agg(
+        (F.count("*") - F.lit(1)).alias("n_in_radius")
+    )
 
 
 def _distances(q: np.ndarray, t: np.ndarray, metric: str, p: float, vi: np.ndarray | None):
@@ -137,12 +355,28 @@ def closest_point_join(
     tolerance: float = np.inf,
     base_id: str = "pt_id",
     match_id: str = "pt_id",
+    strategy: str = "broadcast",
 ) -> DataFrame:
-    """k=1 spatial join point→closest point (match side broadcast).
+    """k=1 spatial join point→closest point.
+
+    ``strategy="broadcast"`` (fast path, match side small) broadcasts the
+    match table; ``strategy="bucketed"`` delegates to
+    :func:`knn_points_bucketed` with k=1 — no broadcast, scale path.
 
     Output: base_id, match_id (nullable), dist. Ties broken by smallest
     match id (deviation from the reference, which raises —
     ``vectorutils/__init__.py:3428-3434``)."""
+    if strategy == "bucketed":
+        qdf = base.select(F.col(base_id).alias("pt_id"), "x", "y")
+        tdf = match.select(F.col(match_id).alias("pt_id"), "x", "y")
+        res = knn_points_bucketed(
+            qdf, tdf, k=1, dist_thres=tolerance, exclude_self=False
+        ).select(
+            F.col("query_id").alias(base_id),
+            F.col("nbr_id").alias("closest_id"),
+            F.sqrt("d2").alias("dist"),
+        )
+        return base.select(base_id).join(res, base_id, "left")
     spark = base.sparkSession
     m = match.select(match_id, "x", "y").toPandas()
     b = spark.sparkContext.broadcast(

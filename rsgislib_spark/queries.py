@@ -476,24 +476,15 @@ FROM r WHERE rn <= 3 GROUP BY pt_id
 
 
 def q18_radius_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """calc_npts_in_radius: count of other points within r (self-join)."""
+    """calc_npts_in_radius: count of other points within r, on the
+    CELL-BUCKETED equi-join (cell ≥ r ⇒ ring-1 covers the disk, exact
+    refine inside) — candidates only, no O(N²) theta-join, no broadcast
+    of the point table."""
+    from rsgislib_spark.operators.knn import radius_count_bucketed
+
     load_views(spark, sf_dir)
-    R2 = 5000.0 * 5000.0
     pts = _geo_points(spark).select("pt_id", "x", "y")
-    a, b = pts.alias("a"), pts.alias("b")
-    pairs = a.join(
-        F.broadcast(b),
-        (F.col("a.pt_id") != F.col("b.pt_id"))
-        & (
-            (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x"))
-            + (F.col("a.y") - F.col("b.y")) * (F.col("a.y") - F.col("b.y"))
-            <= F.lit(R2)
-        ),
-    )
-    counts = pairs.groupBy(F.col("a.pt_id").alias("pt_id")).agg(F.count("*").alias("n_in_radius"))
-    return (
-        pts.select("pt_id").join(counts, "pt_id", "left").fillna({"n_in_radius": 0})
-    )
+    return radius_count_bucketed(pts, radius=5000.0)
 
 
 ORACLE_Q18 = _cte("""
@@ -521,22 +512,40 @@ def q19_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "image_key long, tile_x int, tile_y int, x0 int, y0 int, tw int, th int"
 
     def _tiles(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # few distinct (w, h) shapes → compute each shape's windows ONCE,
+        # np.tile/np.repeat across all images of that shape, ONE pandas
+        # DataFrame per Arrow batch (per-image DataFrame construction was
+        # the dominant cost of this UDTF)
+        cache: dict = {}
         for pdf in it:
-            outs = []
-            for rec in pdf.itertuples(index=False):
-                wins = pixelmath.tile_windows_simple(int(rec.w), int(rec.h), TILE, TILE)
-                outs.append(pd.DataFrame({
-                    "image_key": rec.image_key,
-                    "tile_x": wins[:, 0].astype(np.int32),
-                    "tile_y": wins[:, 1].astype(np.int32),
-                    "x0": wins[:, 2].astype(np.int32),
-                    "y0": wins[:, 3].astype(np.int32),
-                    "tw": wins[:, 4].astype(np.int32),
-                    "th": wins[:, 5].astype(np.int32),
-                }))
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {k: [] for k in ["image_key", "tile_x", "tile_y", "x0", "y0", "tw", "th"]}
-            )
+            if not len(pdf):
+                continue
+            ws = pdf["w"].to_numpy(np.int64)
+            hs = pdf["h"].to_numpy(np.int64)
+            keys = pdf["image_key"].to_numpy(np.int64)
+            shape_key = ws * np.int64(1 << 32) + hs
+            blocks_k, blocks_w = [], []
+            for sk in np.unique(shape_key):
+                w, h = int(sk >> 32), int(sk & 0xFFFFFFFF)
+                wins = cache.get((w, h))
+                if wins is None:
+                    wins = cache.setdefault(
+                        (w, h), pixelmath.tile_windows_simple(w, h, TILE, TILE)
+                    )
+                kk = keys[shape_key == sk]
+                blocks_k.append(np.repeat(kk, wins.shape[0]))
+                blocks_w.append(np.tile(wins, (len(kk), 1)))
+            K = np.concatenate(blocks_k)
+            Wn = np.concatenate(blocks_w, axis=0)
+            yield pd.DataFrame({
+                "image_key": K,
+                "tile_x": Wn[:, 0].astype(np.int32),
+                "tile_y": Wn[:, 1].astype(np.int32),
+                "x0": Wn[:, 2].astype(np.int32),
+                "y0": Wn[:, 3].astype(np.int32),
+                "tw": Wn[:, 4].astype(np.int32),
+                "th": Wn[:, 5].astype(np.int32),
+            })
 
     return gi.mapInPandas(_tiles, schema=schema)
 

@@ -1420,8 +1420,46 @@ FROM test GROUP BY 1, 2
 """)
 
 
+def q74_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial kNN on the CELL-BUCKETED two-phase join (the north rule's
+    "kNN neighbor lookup over cell-bucketed candidates"): bucket → k-ring
+    candidate equi-join → exact refine → row_number ≤ k, with a
+    ring-escalation guarantee that makes the result identical to brute
+    force. The oracle IS brute force — proving bucketed == exact.
+    Ref: apply_rat_knn (src/rastergis/RSGISRATKNN.cpp:390-420), here the
+    linear scan is restricted to candidate cells."""
+    from rsgislib_spark.operators.knn import knn_points_bucketed
+
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark).select("pt_id", "x", "y")
+    qs = pts.filter(F.col("pt_id") % 5 == 0)
+    res = knn_points_bucketed(qs, pts, k=5, cell=4096.0)
+    return res.select(
+        "query_id",
+        "nbr_id",
+        F.col("d2").cast("long").alias("d2"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# Brute-force oracle: integer-lattice d2 is exact, so bucketed==brute is
+# a hash-level statement, not a tolerance one.
+ORACLE_Q74 = _cte("""
+, q AS (SELECT pt_id AS query_id, x, y FROM geo_points WHERE pt_id % 5 = 0)
+SELECT query_id, nbr_id, CAST(d2 AS BIGINT) AS d2, CAST(rn AS INT) AS rank FROM (
+  SELECT q.query_id, p.pt_id AS nbr_id,
+         (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+           (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) ASC,
+           p.pt_id ASC) AS rn
+  FROM q JOIN geo_points p ON p.pt_id <> q.query_id
+) t WHERE rn <= 5
+""")
+
+
 QUERIES_EXT = {
     "q64_north_star": q64_north_star,
+    "q74_knn_bucketed": q74_knn_bucketed,
     "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
     "q68_distance_transform": q68_distance_transform,
@@ -1530,6 +1568,7 @@ SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank FROM (
 
 ORACLES_EXT = {
     "q37_simhash": ORACLE_Q37,
+    "q74_knn_bucketed": ORACLE_Q74,
     "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,
     "q41_ann_lsh": ORACLE_Q41,

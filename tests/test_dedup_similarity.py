@@ -1,0 +1,91 @@
+"""Dedup/similarity scale-path guarantees: Catalyst SimHash parity,
+frequent-token fence on the Jaccard index join, broadcast ceiling on
+cosine_block_pairs."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from rsgislib_spark.functions.dedup import ngram_jaccard_pairs, simhash64
+
+
+def _simhash_ref(text: str) -> int:
+    """Row-at-a-time reference implementation (the pre-Catalyst kernel)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in set((text or "").split(" ")):
+        if not tok:
+            continue
+        hv = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big", signed=False)
+        bits = (hv >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    h = np.uint64(0)
+    for b in range(64):
+        if acc[b] > 0:
+            h |= np.uint64(1) << np.uint64(b)
+    return int(h.astype(np.uint64).view(np.int64))
+
+
+def test_simhash_catalyst_matches_reference_kernel(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "completely different content here",
+        "single",
+        "",
+        "repeated repeated repeated token",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = (
+        simhash64(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("doc_id")["simhash"]
+    )
+    for i, t in enumerate(texts):
+        assert int(got[i]) == _simhash_ref(t), (i, t)
+
+
+def test_ngram_jaccard_fence_keeps_exact_scores(spark):
+    # near-dup pair (0,1) shares rare tokens; every doc shares stop words
+    texts = [
+        "the a of alpha beta gamma delta",
+        "the a of alpha beta gamma epsilon",
+        "the a of zeta eta theta iota",
+        "the a of kappa lumen mu nu",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    full = ngram_jaccard_pairs(df, threshold=0.1).toPandas()
+    fenced = ngram_jaccard_pairs(df, threshold=0.1, max_token_df=2).toPandas()
+    fk = {(r.id_a, r.id_b): r.jaccard for r in fenced.itertuples(index=False)}
+    # the true near-dup survives with its EXACT (full-token-set) jaccard
+    want = full.set_index(["id_a", "id_b"]).loc[(0, 1), "jaccard"]
+    assert fk[(0, 1)] == want == pytest.approx(6 / 8, abs=1e-6)
+    # pairs overlapping only in stop words (df=4 > cap) are not candidates
+    assert (2, 3) not in fk
+
+
+def test_ngram_jaccard_fence_blocks_stopword_blowup(spark):
+    # 60 docs sharing ONE stop word: uncapped index join would build
+    # 60*59/2 pairs from it; capped builds none
+    texts = [f"stopword unique{i} only{i}" for i in range(60)]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    fenced = ngram_jaccard_pairs(df, threshold=0.0, max_token_df=5).toPandas()
+    assert len(fenced) == 0
+
+
+def test_cosine_block_pairs_raises_above_ceiling(spark):
+    from rsgislib_spark.functions.similarity import cosine_block_pairs
+
+    pdf = pd.DataFrame(
+        {"vec_id": range(10), "embedding": [[1.0, float(i)] for i in range(10)]}
+    )
+    emb = spark.createDataFrame(pdf)
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        cosine_block_pairs(emb, threshold=0.9, max_broadcast_rows=5)
+    # under the ceiling it still runs
+    out = cosine_block_pairs(emb, threshold=0.999, max_broadcast_rows=100).toPandas()
+    assert {"id_a", "id_b", "cos"} == set(out.columns)

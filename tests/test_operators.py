@@ -292,3 +292,74 @@ class TestKNN:
         exp = (d2 <= r * r).sum(axis=1) - 1
         for i, pid in enumerate(points_pdf["pt_id"]):
             assert got.loc[pid, "n_in_radius"] == exp[i]
+
+    def test_radius_count_bucketed_matches_broadcast(self, spark, points_pdf):
+        from rsgislib_spark.operators.knn import radius_count_bucketed
+
+        r = 50000.0
+        pts = spark.createDataFrame(points_pdf)
+        brute = radius_count(pts, r).toPandas().set_index("pt_id")["n_in_radius"]
+        buck = radius_count_bucketed(pts, r).toPandas().set_index("pt_id")["n_in_radius"]
+        assert len(buck) == len(points_pdf)
+        for pid in points_pdf["pt_id"]:
+            assert buck[pid] == brute[pid]
+
+    @pytest.mark.parametrize("cell", [2000.0, 50000.0])
+    def test_knn_bucketed_equals_brute(self, spark, points_pdf, cell):
+        """Small cell forces multi-round ring escalation; large cell
+        resolves in one round — both must equal brute force exactly."""
+        from rsgislib_spark.operators.knn import knn_points_bucketed
+
+        k = 4
+        pts = spark.createDataFrame(points_pdf)
+        qs = spark.createDataFrame(points_pdf.iloc[:40])
+        got = (
+            knn_points_bucketed(qs, pts, k=k, cell=cell)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+        )
+        xs = points_pdf["x"].to_numpy(float)
+        ys = points_pdf["y"].to_numpy(float)
+        ids = points_pdf["pt_id"].to_numpy()
+        for qrow in points_pdf.iloc[:40].itertuples(index=False):
+            d2 = (xs - qrow.x) ** 2 + (ys - qrow.y) ** 2
+            order = np.lexsort((ids, d2))
+            order = order[ids[order] != qrow.pt_id][:k]
+            sub = got[got.query_id == qrow.pt_id]
+            assert list(sub["nbr_id"]) == list(ids[order])
+            assert np.allclose(sub["d2"].to_numpy(), d2[order])
+
+    def test_knn_bucketed_dist_thres_strict(self, spark, points_pdf):
+        from rsgislib_spark.operators.knn import knn_points_bucketed
+
+        pts = spark.createDataFrame(points_pdf)
+        got = knn_points_bucketed(pts, pts, k=5, cell=4096.0, dist_thres=20000.0).toPandas()
+        assert (got["d2"] < 20000.0 ** 2).all()
+        # brute-force the expected per-query count under the threshold
+        xs = points_pdf["x"].to_numpy(float)
+        ys = points_pdf["y"].to_numpy(float)
+        ids = points_pdf["pt_id"].to_numpy()
+        cnt = got.groupby("query_id").size()
+        for i, pid in enumerate(ids):
+            d2 = (xs - xs[i]) ** 2 + (ys - ys[i]) ** 2
+            n = int(((d2 < 20000.0 ** 2) & (ids != pid)).sum())
+            assert cnt.get(pid, 0) == min(n, 5)
+
+    def test_closest_point_join_bucketed_matches_broadcast(self, spark, points_pdf):
+        base = spark.createDataFrame(points_pdf.iloc[:50])
+        match = spark.createDataFrame(points_pdf.iloc[50:])
+        a = (
+            closest_point_join(base, match, tolerance=80000.0)
+            .toPandas().set_index("pt_id").sort_index()
+        )
+        b = (
+            closest_point_join(base, match, tolerance=80000.0, strategy="bucketed")
+            .toPandas().set_index("pt_id").sort_index()
+        )
+        assert list(a.index) == list(b.index)
+        for pid in a.index:
+            if pd.isna(a.loc[pid, "closest_id"]):
+                assert pd.isna(b.loc[pid, "closest_id"])
+            else:
+                assert a.loc[pid, "closest_id"] == b.loc[pid, "closest_id"]
+                assert a.loc[pid, "dist"] == pytest.approx(b.loc[pid, "dist"])
