@@ -1420,6 +1420,102 @@ FROM test GROUP BY 1, 2
 """)
 
 
+def q75_reproject_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS reprojection (reproject_image / reproj_vector_layer,
+    imageutils/__init__.py:2104-2450, vectorutils/__init__.py:779-1059):
+    footprints treated as EPSG:3857 metres, transformed to EPSG:4326 by
+    the pure-numpy CRS kernel, and round-tripped back. The oracle
+    recomputes the FORWARD web-mercator formula in SQL (closed form) and
+    the round-trip must land back on the integer lattice — both are
+    hash-level statements about the kernel's correctness."""
+    from rsgislib_spark.operators.reproject import reproject_footprints
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark).select("image_key", "minx", "miny", "maxx", "maxy")
+    deg = reproject_footprints(gi, 3857, 4326)
+    back = reproject_footprints(deg, 4326, 3857)
+    d = deg.select(
+        "image_key",
+        F.round("minx", 6).alias("lon_min"),
+        F.round("miny", 6).alias("lat_min"),
+        F.round("maxx", 6).alias("lon_max"),
+        F.round("maxy", 6).alias("lat_max"),
+    )
+    b = back.select(
+        "image_key",
+        F.round("minx", 3).alias("rt_minx"),
+        F.round("miny", 3).alias("rt_miny"),
+        F.round("maxx", 3).alias("rt_maxx"),
+        F.round("maxy", 3).alias("rt_maxy"),
+    )
+    return d.join(b, "image_key")
+
+
+# R = WGS84 semi-major; forward spherical mercator inverse is closed-form
+_MERC = "6378137.0"
+ORACLE_Q75 = _cte(f"""
+SELECT image_key,
+       ROUND(DEGREES(minx / {_MERC}), 6) AS lon_min,
+       ROUND(DEGREES(2 * ATAN(EXP(miny / {_MERC})) - PI() / 2), 6) AS lat_min,
+       ROUND(DEGREES(maxx / {_MERC}), 6) AS lon_max,
+       ROUND(DEGREES(2 * ATAN(EXP(maxy / {_MERC})) - PI() / 2), 6) AS lat_max,
+       ROUND(minx, 3) AS rt_minx, ROUND(miny, 3) AS rt_miny,
+       ROUND(maxx, 3) AS rt_maxx, ROUND(maxy, 3) AS rt_maxy
+FROM geo_images
+""")
+
+
+def q76_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear resampling (resample_img_to_match interp=bilinear,
+    imageutils/__init__.py:2104-2209): sample every image's red band at
+    the (px+0.25, py+0.75) fractional lattice through the bilinear
+    kernel. The 16× sample values are exact integers (weights 3/16, 1/16,
+    9/16, 3/16 over int pixels), so the per-image sums are hash-exact
+    against the relational 4-corner weighted sum."""
+    from rsgislib_spark.kernels import bands as BK
+    from rsgislib_spark.kernels.resample import bilinear_sample
+
+    load_views(spark, sf_dir)
+    gi = _px_images(spark).select("image_key", "w", "h")
+
+    def _bl(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                grid = BK.synth_band_grid(k, w, h, "red")
+                gx, gy = np.meshgrid(
+                    np.arange(w - 1, dtype=np.float64) + 0.25,
+                    np.arange(h - 1, dtype=np.float64) + 0.75,
+                )
+                vals = bilinear_sample(grid, gx.ravel(), gy.ravel())
+                s16 = int(np.rint(vals * 16.0).astype(np.int64).sum())
+                rows.append((k, (w - 1) * (h - 1), s16))
+            yield pd.DataFrame(rows, columns=["image_key", "n_samples", "sum16_bilinear"])
+
+    return gi.mapInPandas(
+        _bl, schema="image_key long, n_samples long, sum16_bilinear long"
+    )
+
+
+ORACLE_Q76 = _cte(f"""
+, corners AS (
+  SELECT image_key,
+         (image_key * 7 + gx.px * 13 + gy.py * 17) % 251 AS v00,
+         (image_key * 7 + (gx.px + 1) * 13 + gy.py * 17) % 251 AS v10,
+         (image_key * 7 + gx.px * 13 + (gy.py + 1) * 17) % 251 AS v01,
+         (image_key * 7 + (gx.px + 1) * 13 + (gy.py + 1) * 17) % 251 AS v11
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 2)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 2)) AS py) gy
+  WHERE image_key % {PX_SUBSET} = 0
+)
+SELECT image_key, COUNT(*) AS n_samples,
+       CAST(SUM(3 * v00 + v10 + 9 * v01 + 3 * v11) AS BIGINT) AS sum16_bilinear
+FROM corners GROUP BY image_key
+""")
+
+
 def q74_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial kNN on the CELL-BUCKETED two-phase join (the north rule's
     "kNN neighbor lookup over cell-bucketed candidates"): bucket → k-ring
@@ -1460,6 +1556,8 @@ SELECT query_id, nbr_id, CAST(d2 AS BIGINT) AS d2, CAST(rn AS INT) AS rank FROM 
 QUERIES_EXT = {
     "q64_north_star": q64_north_star,
     "q74_knn_bucketed": q74_knn_bucketed,
+    "q75_reproject_roundtrip": q75_reproject_roundtrip,
+    "q76_resample_bilinear": q76_resample_bilinear,
     "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
     "q68_distance_transform": q68_distance_transform,
@@ -1569,6 +1667,8 @@ SELECT query_id, nbr_id, cos, CAST(rank AS INT) AS rank FROM (
 ORACLES_EXT = {
     "q37_simhash": ORACLE_Q37,
     "q74_knn_bucketed": ORACLE_Q74,
+    "q75_reproject_roundtrip": ORACLE_Q75,
+    "q76_resample_bilinear": ORACLE_Q76,
     "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,
     "q41_ann_lsh": ORACLE_Q41,

@@ -1,0 +1,159 @@
+"""CRS transform + resampling kernel correctness (pure numpy) and the
+reproject operators end-to-end."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rsgislib_spark.kernels import crs, resample
+
+
+class TestWebMercator:
+    def test_known_anchors(self):
+        # equator/prime meridian is the origin
+        x, y = crs.lonlat_to_webmercator(np.array([0.0]), np.array([0.0]))
+        assert x[0] == pytest.approx(0.0, abs=1e-9)
+        assert y[0] == pytest.approx(0.0, abs=1e-9)
+        # 180° E is πR
+        x, _ = crs.lonlat_to_webmercator(np.array([180.0]), np.array([0.0]))
+        assert x[0] == pytest.approx(np.pi * 6378137.0, rel=1e-12)
+        # 45°N northing (closed form R·ln(tan(3π/8)))
+        _, y = crs.lonlat_to_webmercator(np.array([0.0]), np.array([45.0]))
+        assert y[0] == pytest.approx(6378137.0 * np.log(np.tan(3 * np.pi / 8)), rel=1e-12)
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(7)
+        lon = rng.uniform(-179, 179, 500)
+        lat = rng.uniform(-84, 84, 500)
+        x, y = crs.lonlat_to_webmercator(lon, lat)
+        lon2, lat2 = crs.webmercator_to_lonlat(x, y)
+        assert np.allclose(lon, lon2, atol=1e-9)
+        assert np.allclose(lat, lat2, atol=1e-9)
+
+
+class TestUTM:
+    def test_central_meridian_anchor(self):
+        # on the CM at the equator: easting exactly 500000, northing 0
+        x, y = crs.lonlat_to_utm(np.array([3.0]), np.array([0.0]), zone=31)
+        assert x[0] == pytest.approx(500000.0, abs=1e-6)
+        assert y[0] == pytest.approx(0.0, abs=1e-6)
+
+    def test_scale_factor_on_cm(self):
+        # along the CM the projection scale is k0 = 0.9996: northing of
+        # 1° latitude ≈ k0 · meridional arc length
+        x, y = crs.lonlat_to_utm(np.array([3.0]), np.array([1.0]), zone=31)
+        arc = crs._meridional_arc(np.radians(np.array([1.0])))[0]
+        assert y[0] == pytest.approx(0.9996 * arc, rel=1e-12)
+        assert x[0] == pytest.approx(500000.0, abs=1e-6)
+
+    def test_roundtrip_inside_zone(self):
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(0.5, 5.5, 500)  # zone 31 spans 0..6E
+        lat = rng.uniform(-70, 70, 500)
+        x, y = crs.lonlat_to_utm(lon, lat, zone=31)
+        lon2, lat2 = crs.utm_to_lonlat(x, y, zone=31)
+        # Snyder series round-trip: sub-millimetre (≈1e-8 deg)
+        assert np.allclose(lon, lon2, atol=1e-7)
+        assert np.allclose(lat, lat2, atol=1e-7)
+
+    def test_transform_routing(self):
+        # 3857 → UTM → 3857 via the registry round-trips
+        x = np.array([250000.0, 400000.0])
+        y = np.array([5000000.0, 6000000.0])
+        ux, uy = crs.transform(3857, 32631, x, y)
+        x2, y2 = crs.transform(32631, 3857, ux, uy)
+        assert np.allclose(x, x2, atol=1e-4)
+        assert np.allclose(y, y2, atol=1e-4)
+
+
+def test_affine_apply_invert():
+    gt = (1000.0, 10.0, 0.0, 5000.0, 0.0, -10.0)
+    px = np.array([0.0, 3.0, 7.5])
+    py = np.array([0.0, 2.0, 4.25])
+    x, y = crs.affine_apply(gt, px, py)
+    inv = crs.affine_invert(gt)
+    px2, py2 = crs.affine_apply(inv, x, y)
+    assert np.allclose(px, px2)
+    assert np.allclose(py, py2)
+
+
+class TestResample:
+    def _grid(self, h=12, w=16, seed=3):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 251, size=(h, w)).astype(np.int64)
+
+    def test_nearest_identity(self):
+        g = self._grid()
+        assert np.array_equal(resample.resample_nearest(g, 16, 12), g)
+
+    def test_bilinear_identity_and_constancy(self):
+        g = self._grid()
+        out = resample.resample_bilinear(g, 16, 12)
+        assert np.allclose(out, g)  # identity at same size
+        const = np.full((8, 8), 42.0)
+        assert np.allclose(resample.resample_bilinear(const, 13, 5), 42.0)
+
+    def test_bilinear_halfscale_is_block_mean(self):
+        # half-pixel convention at 0.5×: sample points hit the exact
+        # centre of each 2×2 block → block mean
+        g = self._grid(8, 8)
+        out = resample.resample_bilinear(g, 4, 4)
+        want = resample.resample_average(g, 2)
+        assert np.allclose(out, want)
+
+    def test_bilinear_sample_vs_manual(self):
+        g = self._grid(6, 6)
+        v = resample.bilinear_sample(g, np.array([2.25]), np.array([3.75]))[0]
+        want = (
+            g[3, 2] * 0.75 * 0.25 + g[3, 3] * 0.25 * 0.25
+            + g[4, 2] * 0.75 * 0.75 + g[4, 3] * 0.25 * 0.75
+        )
+        assert v == pytest.approx(want)
+
+    def test_cubic_identity_and_range(self):
+        g = self._grid()
+        out = resample.resample_cubic(g, 16, 12)
+        assert np.allclose(out, g)  # interpolating kernel: identity at nodes
+        up = resample.resample_cubic(g.astype(float), 32, 24)
+        assert up.shape == (24, 32)
+        # Keys kernel can overshoot but stays near the data range
+        assert up.min() > -30 and up.max() < 290
+
+    def test_mode_blocks(self):
+        g = np.array([[1, 1, 2, 2], [1, 3, 2, 5], [4, 4, 6, 6], [4, 4, 6, 7]])
+        out = resample.resample_mode(g, 2)
+        assert out.tolist() == [[1, 2], [4, 6]]
+
+
+def test_reproject_operators_roundtrip(spark):
+    from rsgislib_spark.operators.reproject import reproject_footprints, reproject_points
+
+    pdf = pd.DataFrame(
+        {
+            "pt_id": [1, 2, 3],
+            "x": [50000.0, 75000.5, 99000.25],
+            "y": [40000.0, 61000.5, 88000.75],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rt = reproject_points(
+        reproject_points(df, 3857, 4326), 4326, 3857
+    ).toPandas().set_index("pt_id")
+    for pid, x, y in pdf.itertuples(index=False):
+        assert rt.loc[pid, "x"] == pytest.approx(x, abs=1e-6)
+        assert rt.loc[pid, "y"] == pytest.approx(y, abs=1e-6)
+
+    fp = pd.DataFrame(
+        {"image_key": [1], "minx": [50000.0], "miny": [40000.0],
+         "maxx": [51280.0], "maxy": [40640.0]}
+    )
+    fdf = spark.createDataFrame(fp)
+    out = reproject_footprints(fdf, 3857, 4326).toPandas().iloc[0]
+    # envelope stays ordered and in plausible degree range near (0.45°, 0.36°)
+    assert 0.4 < out["minx"] < out["maxx"] < 0.5
+    assert 0.3 < out["miny"] < out["maxy"] < 0.4
+    back = reproject_footprints(
+        reproject_footprints(fdf, 3857, 4326), 4326, 3857
+    ).toPandas().iloc[0]
+    assert back["minx"] == pytest.approx(50000.0, abs=1e-6)
+    assert back["maxy"] == pytest.approx(40640.0, abs=1e-6)
