@@ -67,3 +67,60 @@ def clip_polygon_to_rect(rings, rect):
             out_rings.append(c)
             area += a if i == 0 else -a
     return out_rings, area
+
+
+def rect_difference_parts(rect, covers):
+    """Exact rectilinear difference rect − ∪covers (the geometry-output
+    'difference' overlay for axis-aligned inputs — the fixture family;
+    ref vectorgeoms/__init__.py:1189-1240 delegates the general case to
+    geopandas, which this engine scopes to rectilinear zones).
+
+    ``rect`` = (x0, y0, x1, y1); ``covers`` = (m, 4) array of rects
+    (same layout). Coordinates should be INTEGERS (callers scale a
+    lattice by its denominator first) so the sweep and areas are exact.
+
+    Coordinate-compression sweep: x-breakpoints from cover edges split
+    the rect into vertical strips; per strip, the union of active cover
+    y-intervals (sorted running-max merge) leaves uncovered y-segments,
+    each emitted as one part rect.
+
+    Returns (parts, covered_area): parts is a list of (x0, y0, x1, y1)
+    int tuples whose disjoint union IS rect − ∪covers; covered_area is
+    the exact area of rect ∩ ∪covers.
+    """
+    x0, y0, x1, y1 = (int(v) for v in rect)
+    c = np.asarray(covers, dtype=np.int64).reshape(-1, 4)
+    # clip covers to the rect; drop empties
+    if len(c):
+        cx0 = np.maximum(c[:, 0], x0)
+        cy0 = np.maximum(c[:, 1], y0)
+        cx1 = np.minimum(c[:, 2], x1)
+        cy1 = np.minimum(c[:, 3], y1)
+        keep = (cx0 < cx1) & (cy0 < cy1)
+        cx0, cy0, cx1, cy1 = cx0[keep], cy0[keep], cx1[keep], cy1[keep]
+    else:
+        cx0 = cy0 = cx1 = cy1 = np.empty(0, dtype=np.int64)
+    if not len(cx0):
+        return ([(x0, y0, x1, y1)] if x0 < x1 and y0 < y1 else []), 0
+    xs = np.unique(np.concatenate(([x0, x1], cx0, cx1)))
+    parts = []
+    covered = 0
+    for xa, xb in zip(xs[:-1], xs[1:]):
+        active = (cx0 <= xa) & (cx1 >= xb)
+        if not active.any():
+            parts.append((int(xa), y0, int(xb), y1))
+            continue
+        ys0 = cy0[active]
+        ys1 = cy1[active]
+        order = np.argsort(ys0, kind="stable")
+        ys0, ys1 = ys0[order], ys1[order]
+        cur = y0
+        for s, e in zip(ys0, ys1):
+            if s > cur:
+                parts.append((int(xa), int(cur), int(xb), int(s)))
+            if e > cur:
+                covered += int(xb - xa) * int(min(e, y1) - max(s, cur))
+                cur = max(cur, e)
+        if cur < y1:
+            parts.append((int(xa), int(cur), int(xb), int(y1)))
+    return parts, covered

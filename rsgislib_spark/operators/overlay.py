@@ -1,12 +1,21 @@
-"""Geometry-output overlay join — vectorgeoms intersection / clip_vec_lyr
-(vectorgeoms/__init__.py:1137-1188, :2477-2511): each intersecting
-(image, zone) pair yields the CLIPPED zone geometry (WKB) plus its exact
-area, not just a match flag.
+"""Geometry-output overlay joins — the vectorgeoms overlay family
+(intersection / difference / symmetric difference / union / clip,
+vectorgeoms/__init__.py:1137-1401, :2175-2511): rows carry the produced
+GEOMETRY (WKB) and its exact area, not just a match flag.
 
-Plan shape: broadcast ZoneIndex candidates (bbox tree) → per-pair
-Sutherland–Hodgman clip in the kernel → rows (id, zone_id, wkb, area).
-The per-pair python cost is bounded by the candidate count, which the
-tree keeps proportional to true overlaps.
+ - :func:`overlay_intersection` — per intersecting pair, the clipped
+   zone polygon (Sutherland–Hodgman) + area.
+ - :func:`overlay_difference` — per image, the exact rectilinear
+   decomposition of image − ∪zones (coordinate-compression sweep on a
+   scaled integer lattice; axis-aligned zones — the fixture family).
+ - :func:`overlay_union_pairs` / :func:`overlay_sym_difference_pairs`
+   — per intersecting pair, |A∪B| and |A△B| from the clipped
+   intersection (areas exact on the lattice).
+
+Plan shape: broadcast ZoneIndex candidates (bbox tree) → per-pair /
+per-image numpy kernels inside mapInPandas. The per-pair python cost is
+bounded by the candidate count, which the tree keeps proportional to
+true overlaps.
 """
 
 from __future__ import annotations
@@ -18,7 +27,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from rsgislib_spark.kernels import geom
-from rsgislib_spark.kernels.clip import clip_polygon_to_rect
+from rsgislib_spark.kernels.clip import (
+    clip_polygon_to_rect,
+    rect_difference_parts,
+    ring_area,
+)
 from rsgislib_spark.operators.spatial_join import ZoneIndex
 
 
@@ -59,4 +72,120 @@ def overlay_intersection(
 
     return images.select(id_col, "minx", "miny", "maxx", "maxy").mapInPandas(
         _run, schema=schema
+    )
+
+
+def overlay_difference(
+    images: DataFrame,
+    zones_pdf: pd.DataFrame,
+    id_col: str = "image_id",
+    scale: int = 4,
+) -> DataFrame:
+    """image − ∪zones as an exact disjoint set of rect parts.
+
+    ``scale`` is the lattice denominator: coordinates ×scale must be
+    integers (the catalog's zones live on a 0.25 lattice → scale=4), so
+    the sweep and the emitted areas are integer-exact. One output row per
+    uncovered rect part: (id, part_x0..part_y1 in WORLD coords,
+    part_area_scaled = area × scale²); an image fully covered emits no
+    rows, an image with no overlapping zone emits itself as one part.
+
+    Ref: vec_lyr_difference / gp difference overlay
+    (vectorgeoms/__init__.py:1189-1240, :2321-2476), scoped to
+    axis-aligned zones (the general polygon case remains a gap).
+    """
+    spark = images.sparkSession
+    zb = spark.sparkContext.broadcast(ZoneIndex.from_pandas(zones_pdf))
+    id_type = dict(images.dtypes)[id_col]
+    s = float(scale)
+    schema = (
+        f"{id_col} {id_type}, part_x0 double, part_y0 double, "
+        "part_x1 double, part_y1 double, part_area_scaled long"
+    )
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zx: ZoneIndex = zb.value
+        zr = np.rint(zx.bboxes * s).astype(np.int64)  # zone rects, scaled
+        for pdf in it:
+            if not len(pdf):
+                continue
+            rects = pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(np.float64)
+            ri = np.rint(rects * s).astype(np.int64)
+            qi, zi = zx.tree.query(rects)
+            id_vals = pdf[id_col].to_numpy()
+            rows = []
+            for q in range(len(pdf)):
+                covers = zr[zi[qi == q]]
+                parts, _cov = rect_difference_parts(ri[q], covers)
+                for (px0, py0, px1, py1) in parts:
+                    rows.append(
+                        (
+                            id_vals[q], px0 / s, py0 / s, px1 / s, py1 / s,
+                            int((px1 - px0) * (py1 - py0)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "part_x0", "part_y0", "part_x1", "part_y1",
+                         "part_area_scaled"],
+            )
+
+    return images.select(id_col, "minx", "miny", "maxx", "maxy").mapInPandas(
+        _run, schema=schema
+    )
+
+
+def _pair_areas(images: DataFrame, zones_pdf: pd.DataFrame, id_col: str) -> DataFrame:
+    """(id, zone_id, a_area, z_area, inter_area) per intersecting pair —
+    shared base of the union / symmetric-difference overlays."""
+    inter = overlay_intersection(images, zones_pdf, id_col=id_col)
+
+    def _poly_area(wkb: bytes) -> float:
+        rings = geom.wkb_to_polygon(wkb)
+        return abs(ring_area(rings[0])) - sum(abs(ring_area(r)) for r in rings[1:])
+
+    zareas = pd.DataFrame(
+        {
+            "zone_id": zones_pdf["zone_id"].to_numpy(np.int64),
+            "z_area": [_poly_area(w) for w in zones_pdf["geometry"]],
+        }
+    )
+    spark = images.sparkSession
+    zdf = spark.createDataFrame(zareas)
+    from pyspark.sql import functions as F
+
+    a = images.select(
+        id_col,
+        ((F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny"))).alias("a_area"),
+    )
+    return (
+        inter.select(id_col, "zone_id", F.col("clip_area").alias("inter_area"))
+        .join(F.broadcast(zdf), "zone_id")
+        .join(a, id_col)
+    )
+
+
+def overlay_union_pairs(
+    images: DataFrame, zones_pdf: pd.DataFrame, id_col: str = "image_id"
+) -> DataFrame:
+    """|A ∪ B| per intersecting pair (gp 'union' overlay keeps one row
+    per pair with both attribute sets; areas here —
+    vectorgeoms/__init__.py:1350-1401)."""
+    from pyspark.sql import functions as F
+
+    return _pair_areas(images, zones_pdf, id_col).select(
+        id_col, "zone_id",
+        (F.col("a_area") + F.col("z_area") - F.col("inter_area")).alias("union_area"),
+    )
+
+
+def overlay_sym_difference_pairs(
+    images: DataFrame, zones_pdf: pd.DataFrame, id_col: str = "image_id"
+) -> DataFrame:
+    """|A △ B| per intersecting pair (vectorgeoms/__init__.py:1241-1294)."""
+    from pyspark.sql import functions as F
+
+    return _pair_areas(images, zones_pdf, id_col).select(
+        id_col, "zone_id",
+        (F.col("a_area") + F.col("z_area") - 2 * F.col("inter_area")).alias("sym_diff_area"),
     )

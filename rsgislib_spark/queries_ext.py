@@ -1516,6 +1516,115 @@ FROM corners GROUP BY image_key
 """)
 
 
+def q77_overlay_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry-output DIFFERENCE overlay (vec_lyr_difference / gp
+    difference, vectorgeoms/__init__.py:1189-1240, :2321-2476): per
+    image, the exact area of image − ∪zones from the engine's
+    coordinate-compression sweep (operators/overlay.py). Areas are in
+    1/16 world units (the zones' 0.25 lattice squared), so the oracle —
+    an independent strip + interval-union sweep written in SQL window
+    functions — must agree to the integer."""
+    from rsgislib_spark.operators.overlay import overlay_difference
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark)
+    zones_pdf = _zones_with_wkb(spark)
+    parts = overlay_difference(
+        gi.select(F.col("image_key").alias("image_id"), "minx", "miny", "maxx", "maxy"),
+        zones_pdf,
+        id_col="image_id",
+        scale=4,
+    )
+    agg = parts.groupBy(F.col("image_id").alias("image_key")).agg(
+        F.sum("part_area_scaled").alias("diff_area16")
+    )
+    return (
+        gi.select("image_key")
+        .join(agg, "image_key", "left")
+        .fillna({"diff_area16": 0})
+        .select("image_key", F.col("diff_area16").cast("long").alias("diff_area16"))
+    )
+
+
+# Independent relational sweep: vertical strips from clipped zone x-edges;
+# per strip, interval-union of active zone y-spans via a running-max
+# window; covered = Σ strip_width × merged length. All on the ×4 integer
+# lattice, so the comparison is exact.
+ORACLE_Q77 = _cte("""
+, cand AS (
+  SELECT i.image_key,
+         GREATEST(CAST(z.minx * 4 AS BIGINT), CAST(i.minx * 4 AS BIGINT)) AS zx0,
+         GREATEST(CAST(z.miny * 4 AS BIGINT), CAST(i.miny * 4 AS BIGINT)) AS zy0,
+         LEAST(CAST(z.maxx * 4 AS BIGINT), CAST(i.maxx * 4 AS BIGINT)) AS zx1,
+         LEAST(CAST(z.maxy * 4 AS BIGINT), CAST(i.maxy * 4 AS BIGINT)) AS zy1
+  FROM geo_images i JOIN geo_zones z
+    ON z.minx < i.maxx AND z.maxx > i.minx AND z.miny < i.maxy AND z.maxy > i.miny
+), xs AS (
+  SELECT DISTINCT image_key, zx0 AS x FROM cand
+  UNION SELECT DISTINCT image_key, zx1 FROM cand
+), strips AS (
+  SELECT image_key, x AS sx0,
+         LEAD(x) OVER (PARTITION BY image_key ORDER BY x) AS sx1
+  FROM xs
+), iv AS (
+  SELECT c.image_key, s.sx0, s.sx1, c.zy0, c.zy1
+  FROM (SELECT * FROM strips WHERE sx1 IS NOT NULL) s
+  JOIN cand c ON c.image_key = s.image_key AND c.zx0 <= s.sx0 AND c.zx1 >= s.sx1
+), seg AS (
+  SELECT image_key, sx0, sx1, zy0, zy1,
+         MAX(zy1) OVER (PARTITION BY image_key, sx0 ORDER BY zy0, zy1
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+), cov AS (
+  SELECT image_key,
+         CAST(SUM((sx1 - sx0) *
+              CASE WHEN pmax IS NULL OR pmax < zy0 THEN zy1 - zy0
+                   WHEN pmax < zy1 THEN zy1 - pmax
+                   ELSE 0 END) AS BIGINT) AS covered16
+  FROM seg GROUP BY image_key
+)
+SELECT i.image_key,
+       CAST((CAST(i.maxx * 4 AS BIGINT) - CAST(i.minx * 4 AS BIGINT))
+            * (CAST(i.maxy * 4 AS BIGINT) - CAST(i.miny * 4 AS BIGINT))
+            - COALESCE(c.covered16, 0) AS BIGINT) AS diff_area16
+FROM geo_images i LEFT JOIN cov c USING (image_key)
+""")
+
+
+def q78_overlay_symdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric-difference overlay per intersecting pair
+    (vectorgeoms/__init__.py:1241-1294): |A△B| = |A| + |B| − 2|A∩B|,
+    the intersection coming from the Sutherland–Hodgman clip kernel.
+    Areas ×16 are integers on the fixture lattice."""
+    from rsgislib_spark.operators.overlay import overlay_sym_difference_pairs
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark)
+    zones_pdf = _zones_with_wkb(spark)
+    out = overlay_sym_difference_pairs(
+        gi.select(F.col("image_key").alias("image_id"), "minx", "miny", "maxx", "maxy"),
+        zones_pdf,
+        id_col="image_id",
+    )
+    return out.select(
+        F.col("image_id").alias("image_key"),
+        "zone_id",
+        F.round(F.col("sym_diff_area") * 16, 0).cast("long").alias("sym16"),
+    )
+
+
+ORACLE_Q78 = _cte("""
+SELECT i.image_key, z.zone_id,
+       CAST(ROUND(((i.maxx - i.minx) * (i.maxy - i.miny)
+                   + (z.maxx - z.minx) * (z.maxy - z.miny)
+                   - 2 * (LEAST(i.maxx, z.maxx) - GREATEST(i.minx, z.minx))
+                       * (LEAST(i.maxy, z.maxy) - GREATEST(i.miny, z.miny))) * 16, 0)
+            AS BIGINT) AS sym16
+FROM geo_images i JOIN geo_zones z
+  ON z.minx < i.maxx AND z.maxx > i.minx AND z.miny < i.maxy AND z.maxy > i.miny
+""")
+
+
 def q74_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial kNN on the CELL-BUCKETED two-phase join (the north rule's
     "kNN neighbor lookup over cell-bucketed candidates"): bucket → k-ring
@@ -1558,6 +1667,8 @@ QUERIES_EXT = {
     "q74_knn_bucketed": q74_knn_bucketed,
     "q75_reproject_roundtrip": q75_reproject_roundtrip,
     "q76_resample_bilinear": q76_resample_bilinear,
+    "q77_overlay_difference": q77_overlay_difference,
+    "q78_overlay_symdiff": q78_overlay_symdiff,
     "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
     "q68_distance_transform": q68_distance_transform,
@@ -1669,6 +1780,8 @@ ORACLES_EXT = {
     "q74_knn_bucketed": ORACLE_Q74,
     "q75_reproject_roundtrip": ORACLE_Q75,
     "q76_resample_bilinear": ORACLE_Q76,
+    "q77_overlay_difference": ORACLE_Q77,
+    "q78_overlay_symdiff": ORACLE_Q78,
     "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,
     "q41_ann_lsh": ORACLE_Q41,

@@ -4,6 +4,52 @@ cases plus an overlay operator round trip."""
 import numpy as np
 import pytest
 
+from rsgislib_spark.kernels.clip import rect_difference_parts
+
+
+class TestRectDifference:
+    def _brute(self, rect, covers, res=1):
+        x0, y0, x1, y1 = rect
+        grid = np.zeros((y1 - y0, x1 - x0), dtype=bool)
+        for cx0, cy0, cx1, cy1 in covers:
+            gx0, gy0 = max(cx0, x0) - x0, max(cy0, y0) - y0
+            gx1, gy1 = min(cx1, x1) - x0, min(cy1, y1) - y0
+            if gx0 < gx1 and gy0 < gy1:
+                grid[gy0:gy1, gx0:gx1] = True
+        return int(grid.sum())
+
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_random_covers_match_brute(self, seed):
+        rng = np.random.default_rng(seed)
+        rect = (0, 0, 40, 30)
+        covers = []
+        for _ in range(rng.integers(0, 12)):
+            cx0 = int(rng.integers(-10, 45))
+            cy0 = int(rng.integers(-10, 35))
+            covers.append((cx0, cy0, cx0 + int(rng.integers(1, 20)), cy0 + int(rng.integers(1, 18))))
+        parts, covered = rect_difference_parts(rect, np.array(covers).reshape(-1, 4))
+        assert covered == self._brute(rect, covers)
+        part_area = sum((px1 - px0) * (py1 - py0) for px0, py0, px1, py1 in parts)
+        assert part_area + covered == 40 * 30
+        # parts are disjoint and uncovered (rasterize check)
+        grid = np.zeros((30, 40), dtype=np.int32)
+        for px0, py0, px1, py1 in parts:
+            grid[py0:py1, px0:px1] += 1
+        assert grid.max() <= 1
+        cov_grid = np.zeros((30, 40), dtype=bool)
+        for cx0, cy0, cx1, cy1 in covers:
+            gx0, gy0, gx1, gy1 = max(cx0, 0), max(cy0, 0), min(cx1, 40), min(cy1, 30)
+            if gx0 < gx1 and gy0 < gy1:
+                cov_grid[gy0:gy1, gx0:gx1] = True
+        assert not (grid.astype(bool) & cov_grid).any()
+
+    def test_no_covers_and_full_cover(self):
+        parts, covered = rect_difference_parts((0, 0, 5, 5), np.empty((0, 4), dtype=np.int64))
+        assert parts == [(0, 0, 5, 5)] and covered == 0
+        parts, covered = rect_difference_parts((0, 0, 5, 5), np.array([[-1, -1, 6, 6]]))
+        assert parts == [] and covered == 25
+import pytest
+
 from rsgislib_spark.kernels.clip import clip_polygon_to_rect, clip_ring_to_rect, ring_area
 
 
