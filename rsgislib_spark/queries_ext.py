@@ -1625,6 +1625,151 @@ FROM geo_images i JOIN geo_zones z
 """)
 
 
+def q79_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means (kmeans_clustering,
+    imagecalc.cpp:1888-1942): init = features of the 4 smallest pt_ids,
+    ONE Lloyd update, final assignment → per-cluster counts and means.
+    The oracle unrolls both iterations relationally; every arithmetic
+    step (integer sums, single-division means, left-to-right dist²) is
+    written identically in both engines, so assignment is hash-exact
+    with centroid-id tie-breaks."""
+    from rsgislib_spark.functions.clustering import kmeans_assign, kmeans_fit
+
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark).select("pt_id", "f1", "f2", "f3")
+    feats = ["f1", "f2", "f3"]
+    cents = kmeans_fit(pts, feats, k=4, n_iter=1, id_col="pt_id")
+    final = kmeans_assign(pts, feats, cents)
+    return final.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.sum(F.col(c).cast("double")) / F.count("*"), 6).alias(f"mean_{c}")
+            for c in feats
+        ],
+    )
+
+
+ORACLE_Q79 = _cte("""
+, pts AS (
+  SELECT pt_id, CAST(f1 AS DOUBLE) AS f1, CAST(f2 AS DOUBLE) AS f2,
+         CAST(f3 AS DOUBLE) AS f3
+  FROM geo_points
+), init AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY pt_id) - 1 AS c, f1 AS m1, f2 AS m2, f3 AS m3
+  FROM pts ORDER BY pt_id LIMIT 4
+), a1 AS (
+  SELECT pt_id, f1, f2, f3, c FROM (
+    SELECT p.pt_id, p.f1, p.f2, p.f3, i.c,
+           ROW_NUMBER() OVER (PARTITION BY p.pt_id ORDER BY
+             (p.f1 - i.m1) * (p.f1 - i.m1) + (p.f2 - i.m2) * (p.f2 - i.m2)
+             + (p.f3 - i.m3) * (p.f3 - i.m3) ASC, i.c ASC) AS rn
+    FROM pts p CROSS JOIN init i
+  ) t WHERE rn = 1
+), upd AS (
+  SELECT c, COUNT(*) AS n, SUM(f1) AS sf1, SUM(f2) AS sf2, SUM(f3) AS sf3
+  FROM a1 GROUP BY c
+), m1t AS (
+  SELECT i.c,
+         COALESCE(u.sf1 / u.n, i.m1) AS m1,
+         COALESCE(u.sf2 / u.n, i.m2) AS m2,
+         COALESCE(u.sf3 / u.n, i.m3) AS m3
+  FROM init i LEFT JOIN upd u ON i.c = u.c
+), a2 AS (
+  SELECT pt_id, f1, f2, f3, c FROM (
+    SELECT p.pt_id, p.f1, p.f2, p.f3, m.c,
+           ROW_NUMBER() OVER (PARTITION BY p.pt_id ORDER BY
+             (p.f1 - m.m1) * (p.f1 - m.m1) + (p.f2 - m.m2) * (p.f2 - m.m2)
+             + (p.f3 - m.m3) * (p.f3 - m.m3) ASC, m.c ASC) AS rn
+    FROM pts p CROSS JOIN m1t m
+  ) t WHERE rn = 1
+)
+SELECT CAST(c AS INT) AS cluster, COUNT(*) AS n,
+       ROUND(SUM(f1) / COUNT(*), 6) AS mean_f1,
+       ROUND(SUM(f2) / COUNT(*), 6) AS mean_f2,
+       ROUND(SUM(f3) / COUNT(*), 6) AS mean_f3
+FROM a2 GROUP BY c
+""")
+
+
+def q80_pca_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA beyond the covariance matrix (get_pca_eigen_vector +
+    perform_image_pca apply, imagecalc/__init__.py:594-818): fit the
+    3-feature eigendecomposition, PROJECT every point through the
+    Catalyst score expressions, and report per-component variance next
+    to the eigenvalue — projected variance must equal the eigenvalue,
+    which the oracle reproduces with the closed-form trigonometric
+    eigenvalues of the symmetric 3×3 covariance. ROUND 2 absorbs the
+    LAPACK-vs-closed-form last bits."""
+    from rsgislib_spark.functions.pca import pca_apply, pca_fit
+
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark).select("f1", "f2", "f3")
+    model = pca_fit(pts, ["f1", "f2", "f3"])
+    proj = pca_apply(pts, model)
+    r = proj.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col(f"pc{i+1}") * F.col(f"pc{i+1}")).alias(f"ss{i}") for i in range(3)],
+        *[F.sum(F.col(f"pc{i+1}")).alias(f"s{i}") for i in range(3)],
+    ).first()
+    n = float(r["n"])
+    rows = []
+    for i in range(3):
+        var = r[f"ss{i}"] / n - (r[f"s{i}"] / n) ** 2
+        rows.append(
+            (
+                i + 1,
+                _round_half_away(float(model.eigenvalues[i]), 2),
+                _round_half_away(float(var), 2),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "comp int, eigenvalue_r2 double, proj_var_r2 double"
+    )
+
+
+ORACLE_Q80 = _cte("""
+, s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(f1) AS BIGINT) AS s1, CAST(SUM(f2) AS BIGINT) AS s2,
+         CAST(SUM(f3) AS BIGINT) AS s3,
+         CAST(SUM(f1*f1) AS BIGINT) AS s11, CAST(SUM(f1*f2) AS BIGINT) AS s12,
+         CAST(SUM(f1*f3) AS BIGINT) AS s13, CAST(SUM(f2*f2) AS BIGINT) AS s22,
+         CAST(SUM(f2*f3) AS BIGINT) AS s23, CAST(SUM(f3*f3) AS BIGINT) AS s33
+  FROM geo_points
+), cv AS (
+  SELECT (s11 - CAST(s1 AS DOUBLE) * s1 / n) / n AS a11,
+         (s22 - CAST(s2 AS DOUBLE) * s2 / n) / n AS a22,
+         (s33 - CAST(s3 AS DOUBLE) * s3 / n) / n AS a33,
+         (s12 - CAST(s1 AS DOUBLE) * s2 / n) / n AS a12,
+         (s13 - CAST(s1 AS DOUBLE) * s3 / n) / n AS a13,
+         (s23 - CAST(s2 AS DOUBLE) * s3 / n) / n AS a23
+  FROM s
+), e AS (
+  SELECT *, (a11 + a22 + a33) / 3.0 AS q,
+         a12*a12 + a13*a13 + a23*a23 AS p1
+  FROM cv
+), e2 AS (
+  SELECT *, SQRT(((a11-q)*(a11-q) + (a22-q)*(a22-q) + (a33-q)*(a33-q) + 2*p1) / 6.0) AS p
+  FROM e
+), e3 AS (
+  SELECT *, ((a11-q)/p) * (((a22-q)/p)*((a33-q)/p) - (a23/p)*(a23/p))
+          - (a12/p) * ((a12/p)*((a33-q)/p) - (a23/p)*(a13/p))
+          + (a13/p) * ((a12/p)*(a23/p) - ((a22-q)/p)*(a13/p)) AS detb
+  FROM e2
+), e4 AS (
+  SELECT *, ACOS(LEAST(GREATEST(detb / 2.0, -1.0), 1.0)) / 3.0 AS phi FROM e3
+), lam AS (
+  SELECT q + 2*p*COS(phi) AS l1,
+         3*q - (q + 2*p*COS(phi)) - (q + 2*p*COS(phi + 2*PI()/3.0)) AS l2,
+         q + 2*p*COS(phi + 2*PI()/3.0) AS l3
+  FROM e4
+)
+SELECT 1 AS comp, ROUND(l1, 2) AS eigenvalue_r2, ROUND(l1, 2) AS proj_var_r2 FROM lam
+UNION ALL SELECT 2, ROUND(l2, 2), ROUND(l2, 2) FROM lam
+UNION ALL SELECT 3, ROUND(l3, 2), ROUND(l3, 2) FROM lam
+""")
+
+
 def q74_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial kNN on the CELL-BUCKETED two-phase join (the north rule's
     "kNN neighbor lookup over cell-bucketed candidates"): bucket → k-ring
@@ -1669,6 +1814,8 @@ QUERIES_EXT = {
     "q76_resample_bilinear": q76_resample_bilinear,
     "q77_overlay_difference": q77_overlay_difference,
     "q78_overlay_symdiff": q78_overlay_symdiff,
+    "q79_kmeans": q79_kmeans,
+    "q80_pca_eigen": q80_pca_eigen,
     "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
     "q68_distance_transform": q68_distance_transform,
@@ -1782,6 +1929,8 @@ ORACLES_EXT = {
     "q76_resample_bilinear": ORACLE_Q76,
     "q77_overlay_difference": ORACLE_Q77,
     "q78_overlay_symdiff": ORACLE_Q78,
+    "q79_kmeans": ORACLE_Q79,
+    "q80_pca_eigen": ORACLE_Q80,
     "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,
     "q41_ann_lsh": ORACLE_Q41,

@@ -1,0 +1,102 @@
+"""kmeans / isodata / PCA unit correctness against numpy references."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rsgislib_spark.functions.clustering import isodata_fit, kmeans_assign, kmeans_fit
+from rsgislib_spark.functions.pca import (
+    pca_apply,
+    pca_fit,
+    sym3_eigenvalues,
+)
+
+
+def _blobs(seed=0):
+    rng = np.random.default_rng(seed)
+    centers = np.array([[0, 0], [100, 0], [0, 100]], dtype=float)
+    pts = np.concatenate([c + rng.normal(0, 3, size=(40, 2)) for c in centers])
+    pts = pts[rng.permutation(len(pts))]  # ids interleave the blobs
+    ids = np.arange(len(pts))
+    return pd.DataFrame({"pt_id": ids, "fx": pts[:, 0], "fy": pts[:, 1]})
+
+
+def test_kmeans_recovers_blobs(spark):
+    pdf = _blobs()
+    df = spark.createDataFrame(pdf)
+    cents = kmeans_fit(df, ["fx", "fy"], k=3, n_iter=15, id_col="pt_id")
+    got = sorted(tuple(np.round(c, -1)) for c in cents)
+    want = sorted([(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)])
+    assert got == want
+    # assignments are the true blobs (40 each)
+    counts = (
+        kmeans_assign(df, ["fx", "fy"], cents).groupBy("cluster").count().toPandas()
+    )
+    assert sorted(counts["count"]) == [40, 40, 40]
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    """Exact step-parity with a numpy Lloyd reference (same init, same
+    tie-break) over a few iterations."""
+    pdf = _blobs(seed=3)
+    df = spark.createDataFrame(pdf)
+    X = pdf[["fx", "fy"]].to_numpy(float)
+    cents = X[:4].copy()  # init = 4 smallest pt_ids
+    for _ in range(3):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        lab = d2.argmin(axis=1)  # argmin takes first (smallest cid) on ties
+        for c in range(4):
+            if (lab == c).any():
+                cents[c] = X[lab == c].mean(axis=0)
+    got = kmeans_fit(df, ["fx", "fy"], k=4, n_iter=3, id_col="pt_id")
+    assert np.allclose(np.array(got), cents, atol=1e-9)
+
+
+def test_isodata_drops_small_clusters(spark):
+    pdf = _blobs()
+    df = spark.createDataFrame(pdf)
+    # k=5 over 3 blobs: surplus centroids collapse / go empty and drop
+    cents = isodata_fit(
+        df, ["fx", "fy"], k=5, n_iter=10, min_cluster_size=10, id_col="pt_id"
+    )
+    assert 3 <= len(cents) <= 5
+    # every kept centroid sits on one of the true blobs
+    want = {(0.0, 0.0), (100.0, 0.0), (0.0, 100.0)}
+    got = {(abs(round(c[0], -1)), abs(round(c[1], -1))) for c in cents}
+    assert got <= want
+
+
+def test_pca_fit_apply_invariants(spark):
+    rng = np.random.default_rng(5)
+    # correlated 3D cloud
+    base = rng.normal(0, 1, size=(500, 3))
+    M = np.array([[5, 0, 0], [4, 2, 0], [1, 1, 0.5]])
+    X = base @ M.T + np.array([10, -3, 7])
+    pdf = pd.DataFrame(X, columns=["f1", "f2", "f3"])
+    df = spark.createDataFrame(pdf)
+    model = pca_fit(df, ["f1", "f2", "f3"])
+    # components orthonormal
+    VVt = model.components @ model.components.T
+    assert np.allclose(VVt, np.eye(3), atol=1e-10)
+    # eigenvalues descending, reconstruct the covariance
+    assert model.eigenvalues[0] >= model.eigenvalues[1] >= model.eigenvalues[2]
+    cov = np.cov(X, rowvar=False, bias=True)
+    rec = model.components.T @ np.diag(model.eigenvalues) @ model.components
+    assert np.allclose(rec, cov, atol=1e-8)
+    # projected variance per component == eigenvalue; whiten → unit var
+    proj = pca_apply(df, model).toPandas()
+    for i in range(3):
+        assert proj[f"pc{i+1}"].var(ddof=0) == pytest.approx(model.eigenvalues[i], rel=1e-6)
+        assert proj[f"pc{i+1}"].mean() == pytest.approx(0.0, abs=1e-8)
+    white = pca_apply(df, model, whiten=True).toPandas()
+    assert white["pc1"].var(ddof=0) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_sym3_closed_form_matches_lapack():
+    rng = np.random.default_rng(9)
+    for _ in range(25):
+        A = rng.normal(0, 10, size=(3, 3))
+        S = A @ A.T  # SPD
+        got = sym3_eigenvalues(S)
+        want = np.sort(np.linalg.eigvalsh(S))[::-1]
+        assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
