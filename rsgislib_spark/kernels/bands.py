@@ -73,6 +73,117 @@ def brightness(bands: list) -> np.ndarray:
     return np.mean([b.astype(np.float64) for b in bands], axis=0)
 
 
+_NODATA = -999.0
+
+
+def _ratio(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """num/den with the reference's muParser guard: den==0 → -999
+    (every calcindices expression ends ':-999')."""
+    out = np.full(den.shape, _NODATA)
+    nz = den != 0
+    out[nz] = num[nz] / den[nz]
+    return out
+
+
+def _f(a) -> np.ndarray:
+    return np.asarray(a, dtype=np.float64)
+
+
+def wbi(blue, nir) -> np.ndarray:
+    """Water Band Index blue/nir (calcindices.py:88-126)."""
+    return _ratio(_f(blue), _f(nir))
+
+
+def ndwi_swir(nir, swir) -> np.ndarray:
+    """NDWI (nir-swir)/(nir+swir) (calcindices.py:127-168)."""
+    return _ratio(_f(nir) - _f(swir), _f(nir) + _f(swir))
+
+
+def gndwi(green, nir) -> np.ndarray:
+    """(green-nir)/(green+nir) (calcindices.py:169-210)."""
+    return _ratio(_f(green) - _f(nir), _f(green) + _f(nir))
+
+
+def gmndwi(green, swir) -> np.ndarray:
+    """(green-swir)/(green+swir) (calcindices.py:211-252)."""
+    return _ratio(_f(green) - _f(swir), _f(green) + _f(swir))
+
+
+def ndsi(green, swir) -> np.ndarray:
+    """Snow index — same ratio as gmndwi (calcindices.py:445-482)."""
+    return gmndwi(green, swir)
+
+
+def nbr(nir, swir) -> np.ndarray:
+    """Normalised Burn Ratio (calcindices.py:483-520)."""
+    return _ratio(_f(nir) - _f(swir), _f(nir) + _f(swir))
+
+
+def gndvi(green, nir) -> np.ndarray:
+    """(nir-green)/(nir+green) (calcindices.py:723-756)."""
+    return _ratio(_f(nir) - _f(green), _f(nir) + _f(green))
+
+
+def whiteness(blue, green, red) -> np.ndarray:
+    """Σ|band − mean|/mean over (b,g,r) (calcindices.py:253-292)."""
+    b, g, r = _f(blue), _f(green), _f(red)
+    m = (b + g + r) / 3.0
+    out = np.full(m.shape, _NODATA)
+    nz = (b + g + r) != 0
+    out[nz] = (np.abs(b - m) + np.abs(g - m) + np.abs(r - m))[nz] / m[nz]
+    return out
+
+
+def brightness_norm(blue, green, red, scale_factor: float = 1000.0) -> np.ndarray:
+    """((b/s)+(g/s)+(r/s))/3, guard on b+g+r (calcindices.py:294-340)."""
+    b, g, r = _f(blue), _f(green), _f(red)
+    out = np.full(b.shape, _NODATA)
+    nz = (b + g + r) != 0
+    out[nz] = ((b / scale_factor) + (g / scale_factor) + (r / scale_factor))[nz] / 3.0
+    return out
+
+
+def ctvi(red, nir) -> np.ndarray:
+    """Corrected TVI: (ndvi+0.5)/sqrt(|ndvi+0.5|)
+    (calcindices.py:409-444)."""
+    r, n = _f(red), _f(nir)
+    out = np.full(r.shape, _NODATA)
+    nz = (n + r) != 0
+    nd = (n[nz] - r[nz]) / (n[nz] + r[nz]) + 0.5
+    out[nz] = nd / np.sqrt(np.abs(nd))
+    return out
+
+
+def bai(red, nir, scale_factor: float = 1000.0) -> np.ndarray:
+    """Burned Area Index 1/((0.1-red)²+(0.06-nir)²) on scaled
+    reflectance (calcindices.py:521-570)."""
+    r, n = _f(red) / scale_factor, _f(nir) / scale_factor
+    out = np.full(r.shape, _NODATA)
+    nz = (_f(red) + _f(nir)) != 0
+    out[nz] = 1.0 / ((0.1 - r[nz]) ** 2 + (0.06 - n[nz]) ** 2)
+    return out
+
+
+def mvi(green, nir, swir) -> np.ndarray:
+    """Mangrove Vegetation Index (nir-green)/(swir-green), guard on
+    swir-green (calcindices.py:572-617; the reference's muParser string
+    lacks the parentheses its docstring formula intends — we implement
+    the documented formula)."""
+    g, n, s = _f(green), _f(nir), _f(swir)
+    return _ratio(n - g, s - g)
+
+
+def evi(blue, red, nir, g: float = 2.5, c1: float = 6.0, c2: float = 7.5,
+        l: float = 1.0, refl_scale_factor: float = 0.001) -> np.ndarray:
+    """EVI g·(nir−red)/(nir + c1·red − c2·blue + l) on scaled
+    reflectance (calcindices.py:619-674)."""
+    b = _f(blue) * refl_scale_factor
+    r = _f(red) * refl_scale_factor
+    n = _f(nir) * refl_scale_factor
+    den = n + c1 * r - c2 * b + l
+    return np.where(den != 0, g * (n - r) / np.where(den != 0, den, 1.0), _NODATA)
+
+
 def band_stats(arr: np.ndarray) -> dict:
     """min/max/sum/count of one band — integer-exact for integer bands."""
     return {

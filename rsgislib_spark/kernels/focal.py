@@ -199,3 +199,77 @@ def slope_degrees(dem: np.ndarray, res: float = 1.0) -> np.ndarray:
     """3×3 Horn slope (python/src/elevation.cpp slope op)."""
     gx, gy = sobel(dem)
     return np.degrees(np.arctan(np.hypot(gx / (8 * res), gy / (8 * res))))
+
+
+def prewitt(arr: np.ndarray):
+    """Prewitt gradient pair (apply_prewitt_filter,
+    imagefilter/__init__.py:601-700); edge-padded like sobel."""
+    a = np.pad(arr.astype(np.float64), 1, mode="edge")
+    gx = (
+        (a[:-2, 2:] + a[1:-1, 2:] + a[2:, 2:])
+        - (a[:-2, :-2] + a[1:-1, :-2] + a[2:, :-2])
+    )
+    gy = (
+        (a[2:, :-2] + a[2:, 1:-1] + a[2:, 2:])
+        - (a[:-2, :-2] + a[:-2, 1:-1] + a[:-2, 2:])
+    )
+    return gx, gy
+
+
+def laplacian(arr: np.ndarray) -> np.ndarray:
+    """4-neighbour Laplacian (∇² kernel [[0,1,0],[1,-4,1],[0,1,0]];
+    imagefilter gaussian-2nd-deriv family's discrete base)."""
+    a = np.pad(arr.astype(np.float64), 1, mode="edge")
+    return a[:-2, 1:-1] + a[2:, 1:-1] + a[1:-1, :-2] + a[1:-1, 2:] - 4.0 * a[1:-1, 1:-1]
+
+
+def gaussian_kernel_1d(sigma: float, radius: int | None = None) -> np.ndarray:
+    """Normalised 1-D Gaussian taps (radius defaults to ceil(3σ))."""
+    r = int(np.ceil(3.0 * sigma)) if radius is None else int(radius)
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / k.sum()
+
+
+def _sep_convolve(arr: np.ndarray, kx: np.ndarray, ky: np.ndarray) -> np.ndarray:
+    """Separable 2-D convolution with edge padding (tap loop, not pixel
+    loop — vectorized over the array per tap)."""
+    ry, rx = len(ky) // 2, len(kx) // 2
+    a = np.pad(arr.astype(np.float64), ((ry, ry), (0, 0)), mode="edge")
+    tmp = np.zeros_like(arr, dtype=np.float64)
+    for i, w in enumerate(ky):
+        tmp += w * a[i : i + arr.shape[0], :]
+    b = np.pad(tmp, ((0, 0), (rx, rx)), mode="edge")
+    out = np.zeros_like(tmp)
+    for j, w in enumerate(kx):
+        out += w * b[:, j : j + arr.shape[1]]
+    return out
+
+
+def gaussian_smooth(arr: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    """Gaussian smoothing (apply_gaussian_smooth_filter,
+    imagefilter/__init__.py:701-780)."""
+    k = gaussian_kernel_1d(sigma)
+    return _sep_convolve(arr, k, k)
+
+
+def gaussian_deriv1(arr: np.ndarray, sigma: float = 1.0):
+    """Gaussian 1st-derivative pair (apply_gaussian_1st_deriv_filter):
+    derivative-of-Gaussian along one axis × Gaussian along the other."""
+    r = int(np.ceil(3.0 * sigma))
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    g = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    g /= g.sum()
+    # derivative taps normalised so correlation with a unit ramp returns
+    # exactly 1 (Σ x·dg = 1) — the discrete-σ variance correction
+    dg = x * g
+    dg /= (x * dg).sum()
+    gx = _sep_convolve(arr, dg, g)
+    gy = _sep_convolve(arr, g, dg)
+    return gx, gy
+
+
+def gaussian_deriv2(arr: np.ndarray, sigma: float = 1.0) -> np.ndarray:
+    """Laplacian-of-Gaussian (apply_gaussian_2nd_deriv_filter): smooth
+    then the discrete ∇²."""
+    return laplacian(gaussian_smooth(arr, sigma))

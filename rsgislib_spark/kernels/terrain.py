@@ -1,0 +1,123 @@
+"""Terrain kernels — slope/aspect/hillshade/incidence/DEM-fill/detrend,
+the engine-side counterpart of the reference's elevation module
+(python/src/elevation.cpp, 13 ops; tests python_tests/test_elevation.py).
+
+All pure-numpy, vectorized, edge-padded with `edge` mode; driven per
+halo-tile by operators/focal.py's template at scale. Gradient convention
+is Horn's 3×3 (the GDAL one): gx/gy are Sobel sums, directional
+derivatives are gx/(8·res).
+
+Deviation note: the reference's shadow mask ray-casts sun occlusion;
+here `shadow_mask_local` flags only self-shadowed cells (incidence
+cos ≤ 0) — cast shadows are a documented gap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rsgislib_spark.kernels.focal import sobel
+
+
+def horn_derivatives(dem: np.ndarray, res: float = 1.0):
+    """(dz/dx, dz/dy) via Horn's method."""
+    gx, gy = sobel(dem)
+    return gx / (8.0 * res), gy / (8.0 * res)
+
+
+def slope_aspect(dem: np.ndarray, res: float = 1.0):
+    """(slope_rad, aspect_rad): slope = atan(|∇z|); aspect =
+    atan2(dz/dy, -dz/dx) (the GDAL hillshade intermediate)."""
+    x, y = horn_derivatives(dem, res)
+    slope = np.arctan(np.sqrt(x * x + y * y))
+    aspect = np.arctan2(y, -x)
+    return slope, aspect
+
+
+def aspect_degrees(dem: np.ndarray, res: float = 1.0) -> np.ndarray:
+    """Compass aspect (0=N, clockwise), flat cells → -1 (the elevation
+    module's flat flag)."""
+    x, y = horn_derivatives(dem, res)
+    asp = np.degrees(np.arctan2(-x, y))  # 0 = north, clockwise east +
+    asp = np.where(asp < 0, asp + 360.0, asp)
+    flat = (x == 0) & (y == 0)
+    return np.where(flat, -1.0, asp)
+
+
+def hillshade(
+    dem: np.ndarray,
+    res: float = 1.0,
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+) -> np.ndarray:
+    """GDAL-formula hillshade in [0, 255] (elevation.cpp hillshade op)."""
+    slope, aspect = slope_aspect(dem, res)
+    zen = np.radians(90.0 - altitude)
+    azr = np.radians(360.0 - azimuth + 90.0)
+    hs = 255.0 * (
+        np.cos(zen) * np.cos(slope)
+        + np.sin(zen) * np.sin(slope) * np.cos(azr - aspect)
+    )
+    return np.maximum(hs, 0.0)
+
+
+def incidence_angle(
+    dem: np.ndarray, res: float = 1.0, azimuth: float = 315.0, altitude: float = 45.0
+) -> np.ndarray:
+    """Solar incidence angle (radians between surface normal and sun) —
+    elevation.cpp incidence-angle op."""
+    slope, aspect = slope_aspect(dem, res)
+    zen = np.radians(90.0 - altitude)
+    azr = np.radians(360.0 - azimuth + 90.0)
+    cosi = np.cos(zen) * np.cos(slope) + np.sin(zen) * np.sin(slope) * np.cos(azr - aspect)
+    return np.arccos(np.clip(cosi, -1.0, 1.0))
+
+
+def shadow_mask_local(
+    dem: np.ndarray, res: float = 1.0, azimuth: float = 315.0, altitude: float = 45.0
+) -> np.ndarray:
+    """Self-shadow mask: 1 where the surface faces away from the sun
+    (incidence cos ≤ 0). Cast shadows not modelled (documented gap)."""
+    slope, aspect = slope_aspect(dem, res)
+    zen = np.radians(90.0 - altitude)
+    azr = np.radians(360.0 - azimuth + 90.0)
+    cosi = np.cos(zen) * np.cos(slope) + np.sin(zen) * np.sin(slope) * np.cos(azr - aspect)
+    return (cosi <= 0.0).astype(np.uint8)
+
+
+def _erode3(a: np.ndarray) -> np.ndarray:
+    p = np.pad(a, 1, mode="edge")
+    out = p[1:-1, 1:-1].copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            out = np.minimum(out, p[1 + dy : p.shape[0] - 1 + dy, 1 + dx : p.shape[1] - 1 + dx])
+    return out
+
+
+def dem_fill(dem: np.ndarray, max_iter: int = 10000) -> np.ndarray:
+    """Depression filling by morphological reconstruction-by-erosion
+    (Soille & Gratin 1994 — the algorithm behind the reference's
+    dtm_aspect/fill op in elevation.cpp): marker = +inf except the
+    border, iterate marker = max(dem, erode3(marker)) to stability.
+    Returns the filled surface (≥ dem, equal outside depressions)."""
+    d = dem.astype(np.float64)
+    marker = np.full_like(d, np.inf)
+    marker[0, :] = d[0, :]
+    marker[-1, :] = d[-1, :]
+    marker[:, 0] = d[:, 0]
+    marker[:, -1] = d[:, -1]
+    for _ in range(max_iter):
+        nxt = np.maximum(d, _erode3(marker))
+        if np.array_equal(nxt, marker):
+            break
+        marker = nxt
+    return marker
+
+
+def detrend(dem: np.ndarray) -> np.ndarray:
+    """Remove the least-squares plane (elevation detrend op)."""
+    h, w = dem.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    A = np.stack([xx.ravel(), yy.ravel(), np.ones(h * w)], axis=1)
+    coef, *_ = np.linalg.lstsq(A, dem.astype(np.float64).ravel(), rcond=None)
+    return dem - (coef[0] * xx + coef[1] * yy + coef[2])

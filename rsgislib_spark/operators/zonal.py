@@ -257,3 +257,124 @@ def zx_points_in(rings, px, py):
     from rsgislib_spark.kernels.geom import points_in_polygon
 
     return points_in_polygon(px, py, rings)
+
+
+def mode_median_from_histogram(
+    hist: DataFrame,
+    key_cols: list,
+    value_col: str = "value",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Exact mode + median from per-key value histograms (small-int
+    pixel values → 256 bins exact; the reference approximates both with
+    fixed-bin histograms, RSGISPopRATWithStats.cpp:512,1068 — ours are
+    exact because the value domain is the bin domain).
+
+    Mode ties → smallest value. Median = numpy convention (mean of the
+    two middle order statistics for even counts), computed from the
+    cumulative histogram: lo = value at position (n+1)//2, hi = value at
+    position n//2 + 1 (1-based). Returns key_cols + n_px, mode, median.
+    """
+    from pyspark.sql import Window as W
+
+    keys = [F.col(k) for k in key_cols]
+    wcum = W.partitionBy(*keys).orderBy(F.asc(value_col)).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum(cnt_col).over(wcum)).withColumn(
+        "n", F.sum(cnt_col).over(W.partitionBy(*keys))
+    )
+    lo = (
+        cum.filter(F.col("cum") >= (F.col("n") + 1) / 2)
+        .groupBy(*key_cols)
+        .agg(F.min(value_col).alias("vlo"))
+    )
+    hi = (
+        cum.filter(F.col("cum") >= F.floor(F.col("n") / 2) + 1)
+        .groupBy(*key_cols)
+        .agg(F.min(value_col).alias("vhi"))
+    )
+    wmode = W.partitionBy(*keys).orderBy(F.desc(cnt_col), F.asc(value_col))
+    md = (
+        hist.withColumn("rn", F.row_number().over(wmode))
+        .filter("rn = 1")
+        .select(*key_cols, F.col(value_col).alias("mode"))
+    )
+    tot = hist.groupBy(*key_cols).agg(F.sum(cnt_col).alias("n_px"))
+    return (
+        tot.join(md, key_cols)
+        .join(lo, key_cols)
+        .join(hi, key_cols)
+        .select(
+            *key_cols,
+            "n_px",
+            "mode",
+            F.round((F.col("vlo") + F.col("vhi")) / 2.0, 1).alias("median"),
+        )
+    )
+
+
+def zonal_band_mode_median(
+    images: DataFrame,
+    zones: DataFrame,
+    no_data_val: float | None = None,
+    pixel_size: float = PIXEL_SIZE,
+) -> DataFrame:
+    """Per-polygon MODE and MEDIAN of pixel values (pixel-center
+    inclusion) — the mode/median half of ``calc_zonal_band_stats``
+    (zonalstats/__init__.py:449-476; golden test
+    python_tests/test_zonalstats.py:108-1056) that the moment-stats
+    operator doesn't cover. Partials are per-(zone, value) histogram
+    counts — 256 rows per zone max — so the shuffle stays O(zones·256)
+    regardless of pixel count."""
+    spark = images.sparkSession
+    zones_pdf = zones.select("zone_id", "geometry").toPandas()
+    zindex_b = spark.sparkContext.broadcast(ZoneIndex.from_pandas(zones_pdf))
+    src = images.select("image_id", "bytes", "w", "h", "fmt", "minx", "miny")
+
+    def _hist(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zx: ZoneIndex = zindex_b.value
+        for pdf in it:
+            acc: dict = {}
+            for rec in pdf.itertuples(index=False):
+                h, w = int(rec.h), int(rec.w)
+                maxy = rec.miny + h * pixel_size
+                maxx = rec.minx + w * pixel_size
+                qi, zi = zx.tree.query(np.array([[rec.minx, rec.miny, maxx, maxy]]))
+                if len(zi) == 0:
+                    continue
+                img = codecs.decode_image(rec.bytes, rec.fmt, h, w)
+                for z in zi:
+                    rings = zx.rings[z]
+                    zb = zx.bboxes[z]
+                    x1, y1, xs, ys, have = pixelmath.zonal_window(
+                        [zb[0]], [zb[2]], [zb[1]], [zb[3]],
+                        rec.minx, maxy, pixel_size, pixel_size, w, h,
+                    )
+                    if not have[0]:
+                        continue
+                    x1_, y1_, xs_, ys_ = int(x1[0]), int(y1[0]), int(xs[0]), int(ys[0])
+                    sub = img[y1_ : y1_ + ys_, x1_ : x1_ + xs_]
+                    pcx = rec.minx + (np.arange(x1_, x1_ + xs_) + 0.5) * pixel_size
+                    pcy = maxy - (np.arange(y1_, y1_ + ys_) + 0.5) * pixel_size
+                    gx, gy = np.meshgrid(pcx, pcy)
+                    mask = zx_points_in(rings, gx.ravel(), gy.ravel()).reshape(sub.shape)
+                    vals = sub[mask].astype(np.int64)
+                    if no_data_val is not None:
+                        vals = vals[vals != no_data_val]
+                    if not vals.size:
+                        continue
+                    zid = int(zx.zone_ids[z])
+                    counts = np.bincount(vals, minlength=256)
+                    prev = acc.get(zid)
+                    acc[zid] = counts if prev is None else prev + counts
+            rows = []
+            for zid, counts in acc.items():
+                nz = np.flatnonzero(counts)
+                for v in nz:
+                    rows.append((zid, int(v), int(counts[v])))
+            yield pd.DataFrame(rows, columns=["zone_id", "value", "cnt"])
+
+    partial = src.mapInPandas(_hist, schema="zone_id long, value int, cnt long")
+    hist = partial.groupBy("zone_id", "value").agg(F.sum("cnt").alias("cnt"))
+    return mode_median_from_histogram(hist, ["zone_id"])

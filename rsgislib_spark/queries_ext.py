@@ -1770,6 +1770,159 @@ UNION ALL SELECT 3, ROUND(l3, 2), ROUND(l3, 2) FROM lam
 """)
 
 
+def q81_zonal_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon MODE + MEDIAN zonal stats (calc_zonal_band_stats
+    mode/median columns, zonalstats/__init__.py:449-476) via exact
+    per-zone value histograms: pixel centres inside the zone rect, synth
+    red band, histogram partials (≤256 rows/zone shuffle), finalized by
+    the shared cumulative-histogram mode/median (operators/zonal.py)."""
+    from rsgislib_spark.operators.zonal import mode_median_from_histogram
+
+    load_views(spark, sf_dir)
+    gi = _px_images(spark).select("image_key", "minx", "maxy", "w", "h")
+    zones = _geo_zones(spark).select("zone_id", "minx", "miny", "maxx", "maxy").collect()
+    zarr = np.array([[z["zone_id"], z["minx"], z["miny"], z["maxx"], z["maxy"]] for z in zones])
+    zb = spark.sparkContext.broadcast(zarr)
+    from rsgislib_spark.kernels import bands as BK
+
+    def _hist(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        za = zb.value
+        for pdf in it:
+            acc: dict = {}
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                minx, maxy = float(rec.minx), float(rec.maxy)
+                grid = BK.synth_band_grid(k, w, h, "red")
+                # candidate zones overlapping the footprint
+                m = (
+                    (za[:, 1] < minx + w * 10.0) & (za[:, 3] > minx)
+                    & (za[:, 2] < maxy) & (za[:, 4] > maxy - h * 10.0)
+                )
+                for zid, zx0, zy0, zx1, zy1 in za[m]:
+                    # pixel centres: minx + (ix+0.5)*10 ∈ [zx0, zx1] (no
+                    # lattice ties: centres integer+5, zones +0.25)
+                    ix0 = max(0, int(np.ceil((zx0 - minx) / 10.0 - 0.5)))
+                    ix1 = min(w - 1, int(np.floor((zx1 - minx) / 10.0 - 0.5)))
+                    iy0 = max(0, int(np.ceil((maxy - zy1) / 10.0 - 0.5)))
+                    iy1 = min(h - 1, int(np.floor((maxy - zy0) / 10.0 - 0.5)))
+                    if ix0 > ix1 or iy0 > iy1:
+                        continue
+                    vals = grid[iy0 : iy1 + 1, ix0 : ix1 + 1].ravel()
+                    counts = np.bincount(vals, minlength=256)
+                    zid = int(zid)
+                    prev = acc.get(zid)
+                    acc[zid] = counts if prev is None else prev + counts
+            rows = []
+            for zid, counts in acc.items():
+                for v in np.flatnonzero(counts):
+                    rows.append((zid, int(v), int(counts[v])))
+            yield pd.DataFrame(rows, columns=["zone_id", "value", "cnt"])
+
+    partial = gi.mapInPandas(_hist, schema="zone_id long, value int, cnt long")
+    hist = partial.groupBy("zone_id", "value").agg(F.sum("cnt").alias("cnt"))
+    return mode_median_from_histogram(hist, ["zone_id"])
+
+
+ORACLE_Q81 = _cte(f"""
+, px AS (
+  SELECT z.zone_id, (g.image_key * 7 + gx.px * 13 + gy.py * 17) % 251 AS v
+  FROM geo_images g
+  JOIN geo_zones z
+    ON z.minx < g.maxx AND z.maxx > g.minx AND z.miny < g.maxy AND z.maxy > g.miny,
+  LATERAL (SELECT unnest(generate_series(0, g.w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, g.h - 1)) AS py) gy
+  WHERE g.image_key % {PX_SUBSET} = 0
+    AND g.minx + (gx.px + 0.5) * 10 >= z.minx AND g.minx + (gx.px + 0.5) * 10 <= z.maxx
+    AND g.maxy - (gy.py + 0.5) * 10 >= z.miny AND g.maxy - (gy.py + 0.5) * 10 <= z.maxy
+), hist AS (
+  SELECT zone_id, v, COUNT(*) AS cnt FROM px GROUP BY 1, 2
+), tot AS (
+  SELECT zone_id, CAST(SUM(cnt) AS BIGINT) AS n_px FROM hist GROUP BY 1
+), cum AS (
+  SELECT zone_id, v, cnt, SUM(cnt) OVER (PARTITION BY zone_id ORDER BY v) AS cum
+  FROM hist
+), lo AS (
+  SELECT c.zone_id, MIN(c.v) AS vlo
+  FROM cum c JOIN tot t USING (zone_id) WHERE c.cum >= (t.n_px + 1) // 2 GROUP BY 1
+), hi AS (
+  SELECT c.zone_id, MIN(c.v) AS vhi
+  FROM cum c JOIN tot t USING (zone_id) WHERE c.cum >= t.n_px // 2 + 1 GROUP BY 1
+), md AS (
+  SELECT zone_id, v AS mode FROM (
+    SELECT zone_id, v, ROW_NUMBER() OVER (PARTITION BY zone_id ORDER BY cnt DESC, v ASC) AS rn
+    FROM hist
+  ) WHERE rn = 1
+)
+SELECT t.zone_id, t.n_px, CAST(md.mode AS INT) AS mode,
+       ROUND((lo.vlo + hi.vhi) / 2.0, 1) AS median
+FROM tot t JOIN md USING (zone_id) JOIN lo USING (zone_id) JOIN hi USING (zone_id)
+""")
+
+
+def q82_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain family (elevation.cpp: slope/aspect/hillshade): GDAL-
+    formula hillshade of the synth red band as a DEM (Horn 3×3
+    gradients, az 315°, alt 45°, res 10), interior pixels only so edge
+    padding is out of scope. The oracle recomputes the closed-form
+    neighbour gradients and the same trig relationally; per-image means
+    rounded to 4 absorb summation-order ulps."""
+    from rsgislib_spark.kernels import bands as BK
+    from rsgislib_spark.kernels import terrain as TK
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0).select(
+        "image_key", "w", "h"
+    )
+
+    def _hs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                grid = BK.synth_band_grid(k, w, h, "red")
+                hs = TK.hillshade(grid, res=10.0, azimuth=315.0, altitude=45.0)
+                interior = hs[1:-1, 1:-1]
+                rows.append(
+                    (k, interior.size,
+                     _round_half_away(float(interior.sum()) / interior.size, 4))
+                )
+            yield pd.DataFrame(rows, columns=["image_key", "n_px", "mean_hs"])
+
+    return gi.mapInPandas(_hs, schema="image_key long, n_px long, mean_hs double")
+
+
+ORACLE_Q82 = _cte(f"""
+, g AS (
+  SELECT image_key, gx.px AS px, gy.py AS py,
+         ((image_key*7 + (gx.px+1)*13 + (gy.py-1)*17) % 251
+          + 2*((image_key*7 + (gx.px+1)*13 + gy.py*17) % 251)
+          + (image_key*7 + (gx.px+1)*13 + (gy.py+1)*17) % 251
+          - ((image_key*7 + (gx.px-1)*13 + (gy.py-1)*17) % 251)
+          - 2*((image_key*7 + (gx.px-1)*13 + gy.py*17) % 251)
+          - ((image_key*7 + (gx.px-1)*13 + (gy.py+1)*17) % 251)) AS gx,
+         ((image_key*7 + (gx.px-1)*13 + (gy.py+1)*17) % 251
+          + 2*((image_key*7 + gx.px*13 + (gy.py+1)*17) % 251)
+          + (image_key*7 + (gx.px+1)*13 + (gy.py+1)*17) % 251
+          - ((image_key*7 + (gx.px-1)*13 + (gy.py-1)*17) % 251)
+          - 2*((image_key*7 + gx.px*13 + (gy.py-1)*17) % 251)
+          - ((image_key*7 + (gx.px+1)*13 + (gy.py-1)*17) % 251)) AS gy
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(1, w - 2)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(1, h - 2)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+), hs AS (
+  SELECT image_key,
+         GREATEST(0.0, 255.0 * (
+           COS(RADIANS(45.0)) * COS(ATAN(SQRT((gx/80.0)*(gx/80.0) + (gy/80.0)*(gy/80.0))))
+           + SIN(RADIANS(45.0)) * SIN(ATAN(SQRT((gx/80.0)*(gx/80.0) + (gy/80.0)*(gy/80.0))))
+             * COS(RADIANS(135.0) - ATAN2(gy/80.0, -(gx/80.0))))) AS v
+  FROM g
+)
+SELECT image_key, COUNT(*) AS n_px, ROUND(SUM(v) / COUNT(*), 4) AS mean_hs
+FROM hs GROUP BY image_key
+""")
+
+
 def q74_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial kNN on the CELL-BUCKETED two-phase join (the north rule's
     "kNN neighbor lookup over cell-bucketed candidates"): bucket → k-ring
@@ -1816,6 +1969,8 @@ QUERIES_EXT = {
     "q78_overlay_symdiff": q78_overlay_symdiff,
     "q79_kmeans": q79_kmeans,
     "q80_pca_eigen": q80_pca_eigen,
+    "q81_zonal_mode_median": q81_zonal_mode_median,
+    "q82_hillshade": q82_hillshade,
     "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
     "q68_distance_transform": q68_distance_transform,
@@ -1931,6 +2086,8 @@ ORACLES_EXT = {
     "q78_overlay_symdiff": ORACLE_Q78,
     "q79_kmeans": ORACLE_Q79,
     "q80_pca_eigen": ORACLE_Q80,
+    "q81_zonal_mode_median": ORACLE_Q81,
+    "q82_hillshade": ORACLE_Q82,
     "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,
     "q41_ann_lsh": ORACLE_Q41,

@@ -157,6 +157,41 @@ class TestZonal:
         got = zonal_band_stats(images_df, zones_df, min_thres=lo, max_thres=hi).toPandas()
         assert (got["min"] >= lo).all() and (got["max"] <= hi).all()
 
+    def test_zonal_mode_median_vs_numpy(self, spark, images_df, small_images_pdf, zones_pdf):
+        from rsgislib_spark.operators.zonal import zonal_band_mode_median
+
+        zones_df = spark.createDataFrame(zones_pdf)
+        got = zonal_band_mode_median(images_df, zones_df).toPandas().set_index("zone_id")
+        acc = {}
+        for rec in small_images_pdf.itertuples(index=False):
+            img = codecs.decode_image(rec.bytes, rec.fmt, rec.h, rec.w)
+            maxy = rec.miny + rec.h * datagen.PIXEL_SIZE
+            for z in zones_pdf.itertuples(index=False):
+                rings = geom.wkb_to_polygon(z.geometry)
+                x1, y1, xs, ys, have = pixelmath.zonal_window(
+                    [z.minx], [z.maxx], [z.miny], [z.maxy],
+                    rec.minx, maxy, datagen.PIXEL_SIZE, datagen.PIXEL_SIZE,
+                    rec.w, rec.h,
+                )
+                if not have[0]:
+                    continue
+                x1_, y1_, xs_, ys_ = int(x1[0]), int(y1[0]), int(xs[0]), int(ys[0])
+                sub = img[y1_ : y1_ + ys_, x1_ : x1_ + xs_]
+                pcx = rec.minx + (np.arange(x1_, x1_ + xs_) + 0.5) * datagen.PIXEL_SIZE
+                pcy = maxy - (np.arange(y1_, y1_ + ys_) + 0.5) * datagen.PIXEL_SIZE
+                gx, gy = np.meshgrid(pcx, pcy)
+                m = geom.points_in_polygon(gx.ravel(), gy.ravel(), rings)
+                vals = sub.ravel()[m]
+                if vals.size:
+                    acc.setdefault(z.zone_id, []).append(vals.astype(np.int64))
+        assert set(got.index) == set(acc.keys())
+        for zid, chunks in acc.items():
+            vals = np.concatenate(chunks)
+            u, c = np.unique(vals, return_counts=True)
+            assert got.loc[zid, "mode"] == u[np.argmax(c)]
+            assert got.loc[zid, "median"] == pytest.approx(round(float(np.median(vals)), 1))
+            assert got.loc[zid, "n_px"] == vals.size
+
 
 # ---------------------------------------------------------------- points
 class TestPointExtract:
