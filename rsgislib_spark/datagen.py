@@ -86,9 +86,18 @@ def gen_images(n: int, seed: int = 42, with_pixels: bool = True) -> pd.DataFrame
     ``with_pixels=False`` skips codec work and emits empty payloads —
     useful for footprint/join-only tests at larger n.
     """
+    return gen_images_rows(range(n), seed=seed, with_pixels=with_pixels)
+
+
+def gen_images_rows(indices, seed: int = 42, with_pixels: bool = True) -> pd.DataFrame:
+    """Rows for an arbitrary index set — the Philox per-row streams make
+    any slice independent of batch/order, so distributed generation
+    (spark.range → mapInPandas over index batches) produces the SAME
+    table as the driver-side loop."""
     hot = hot_spot_centers(seed)
     rows = []
-    for i in range(n):
+    for i in indices:
+        i = int(i)
         rng = _rng(seed, "images", i)
         w = int(SIZES[rng.integers(0, len(SIZES))])
         h = int(SIZES[rng.integers(0, len(SIZES))])

@@ -379,21 +379,61 @@ def polygon_to_wkb(rings) -> bytes:
     return b"".join(out)
 
 
+def _parse_polygon_body(buf: bytes, off: int):
+    import struct
+
+    (nrings,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    rings = []
+    for _ in range(nrings):
+        (npts,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        pts = np.frombuffer(buf, dtype="<f8", count=npts * 2, offset=off).reshape(npts, 2)
+        off += npts * 16
+        rings.append(np.ascontiguousarray(pts[:-1]))  # drop closing point
+    return rings, off
+
+
 def wkb_to_polygon(buf: bytes):
     import struct
 
     byte_order, gtype = struct.unpack_from("<BI", buf, 0)
     assert byte_order == 1
-    off = 5
     if gtype == _WKB_POLYGON:
-        (nrings,) = struct.unpack_from("<I", buf, off)
-        off += 4
-        rings = []
-        for _ in range(nrings):
-            (npts,) = struct.unpack_from("<I", buf, off)
-            off += 4
-            pts = np.frombuffer(buf, dtype="<f8", count=npts * 2, offset=off).reshape(npts, 2)
-            off += npts * 16
-            rings.append(np.ascontiguousarray(pts[:-1]))  # drop closing point
+        rings, _ = _parse_polygon_body(buf, 5)
         return rings
+    raise ValueError(f"unsupported wkb geometry type {gtype}")
+
+
+def multipolygon_to_wkb(polys) -> bytes:
+    """polys = list of polygons (each a list of rings) → WKB
+    MULTIPOLYGON."""
+    import struct
+
+    out = [struct.pack("<BI", 1, _WKB_MULTIPOLYGON), struct.pack("<I", len(polys))]
+    for rings in polys:
+        out.append(polygon_to_wkb(rings))
+    return b"".join(out)
+
+
+def wkb_to_parts(buf: bytes):
+    """Single-part list for POLYGON, all member polygons for
+    MULTIPOLYGON — each part a list of rings (the explode primitive)."""
+    import struct
+
+    byte_order, gtype = struct.unpack_from("<BI", buf, 0)
+    assert byte_order == 1
+    if gtype == _WKB_POLYGON:
+        rings, _ = _parse_polygon_body(buf, 5)
+        return [rings]
+    if gtype == _WKB_MULTIPOLYGON:
+        (nparts,) = struct.unpack_from("<I", buf, 5)
+        off = 9
+        parts = []
+        for _ in range(nparts):
+            bo, gt = struct.unpack_from("<BI", buf, off)
+            assert bo == 1 and gt == _WKB_POLYGON
+            rings, off = _parse_polygon_body(buf, off + 5)
+            parts.append(rings)
+        return parts
     raise ValueError(f"unsupported wkb geometry type {gtype}")

@@ -157,3 +157,73 @@ def clump_images(
     return images.select("image_key", "w", "h").mapInPandas(
         _run, schema="image_key long, n_components long, largest_px long"
     )
+
+
+def rel_diff_neigh_stats(
+    edges: DataFrame,
+    values: DataFrame,
+    id_col: str = "zone_id",
+    val_col: str = "v",
+) -> DataFrame:
+    """Per-zone stats of (own value − neighbour value) over the
+    adjacency edge list — ``calc_rel_diff_neigh_stats``
+    (python/src/rastergis.cpp:2002-2027, impl
+    src/rastergis/RSGISCalcNeighbourStats.cpp). ``edges`` carries each
+    unordered pair once as (zone_a, zone_b); both directions are
+    expanded here. Returns id + n_neigh/min/max/sum_diff/mean_diff
+    (mean as ratio-of-sums, rounded 6 — cross-engine exact when values
+    are integers)."""
+    both = edges.select(
+        F.col("zone_a").alias(id_col), F.col("zone_b").alias("nbr")
+    ).unionByName(
+        edges.select(F.col("zone_b").alias(id_col), F.col("zone_a").alias("nbr"))
+    )
+    v_self = values.select(F.col(id_col), F.col(val_col).alias("v_self"))
+    v_nbr = values.select(F.col(id_col).alias("nbr"), F.col(val_col).alias("v_nbr"))
+    d = (
+        both.join(v_self, id_col)
+        .join(v_nbr, "nbr")
+        .withColumn("d", F.col("v_self") - F.col("v_nbr"))
+    )
+    return d.groupBy(id_col).agg(
+        F.count("*").alias("n_neigh"),
+        F.min("d").alias("min_diff"),
+        F.max("d").alias("max_diff"),
+        F.sum("d").cast("long").alias("sum_diff"),
+        F.round(F.sum("d").cast("double") / F.count("*"), 6).alias("mean_diff"),
+    )
+
+
+def label_border_counts(labels: np.ndarray):
+    """Per-label border-edge counts over 4-adjacency — the kernel behind
+    ``calc_border_length`` / ``calc_rel_border``
+    (python/src/rastergis.cpp:1915-1965, impl
+    src/rastergis/RSGISClumpBorders.cpp). For every in-bounds
+    pixel/neighbour pair with differing labels, each SIDE's label gets
+    one border count (matching the per-pixel neighbour scan).
+
+    Returns (labels_sorted, n_border, border_with) where border_with is
+    a dict label → {other_label: count}."""
+    lab = np.asarray(labels, dtype=np.int64)
+    pairs = []
+    # (own, other) for the 4 directed neighbour views
+    pairs.append((lab[:, :-1], lab[:, 1:]))   # right
+    pairs.append((lab[:, 1:], lab[:, :-1]))   # left
+    pairs.append((lab[:-1, :], lab[1:, :]))   # down
+    pairs.append((lab[1:, :], lab[:-1, :]))   # up
+    nmax = int(lab.max()) + 1
+    total = np.zeros(nmax, dtype=np.int64)
+    with_counts: dict = {}
+    for own, other in pairs:
+        diff = own != other
+        o = own[diff].ravel()
+        t = other[diff].ravel()
+        total += np.bincount(o, minlength=nmax)
+        key = o * nmax + t
+        uniq, cnt = np.unique(key, return_counts=True)
+        for kk, c in zip(uniq, cnt):
+            a, b = int(kk // nmax), int(kk % nmax)
+            with_counts.setdefault(a, {}).setdefault(b, 0)
+            with_counts[a][b] += int(c)
+    present = np.flatnonzero(total > 0)
+    return present, total, with_counts

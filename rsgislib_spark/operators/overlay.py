@@ -189,3 +189,34 @@ def overlay_sym_difference_pairs(
         id_col, "zone_id",
         (F.col("a_area") + F.col("z_area") - 2 * F.col("inter_area")).alias("sym_diff_area"),
     )
+
+
+def explode_multi_geoms(
+    df: DataFrame, id_col: str = "zone_id", geom_col: str = "geometry"
+) -> DataFrame:
+    """Multi-part → single-part geometry explode (``explode_vec_lyr(s)``,
+    vectorgeoms/__init__.py:1609-1674): one output row per member
+    polygon with the part index, its WKB, and its exact shoelace area.
+    A plain POLYGON passes through as part 0 (gp explode semantics).
+    1→N mapInPandas UDTF — the same shape as the tiler."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, part int, part_wkb binary, part_area double"
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, parts, wkbs, areas = [], [], [], []
+            for rec in pdf.itertuples(index=False):
+                gid = getattr(rec, id_col)
+                for i, rings in enumerate(geom.wkb_to_parts(getattr(rec, geom_col))):
+                    area = abs(ring_area(rings[0])) - sum(
+                        abs(ring_area(r)) for r in rings[1:]
+                    )
+                    ids.append(gid)
+                    parts.append(i)
+                    wkbs.append(geom.polygon_to_wkb(rings))
+                    areas.append(area)
+            yield pd.DataFrame(
+                {id_col: ids, "part": parts, "part_wkb": wkbs, "part_area": areas}
+            )
+
+    return df.select(id_col, geom_col).mapInPandas(_run, schema=schema)

@@ -1923,6 +1923,121 @@ FROM hs GROUP BY image_key
 """)
 
 
+def q83_neigh_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbour-difference aggregates on the adjacency graph
+    (calc_rel_diff_neigh_stats, rastergis.cpp:2002-2027): per zone, the
+    stats of (own area − neighbour area) over the q26 adjacency edges —
+    the aggregate half that was missing on top of the edge list."""
+    from rsgislib_spark.operators.clump import rel_diff_neigh_stats
+
+    load_views(spark, sf_dir)
+    z = _geo_zones(spark)
+    edges = q26_zone_adjacency(spark, sf_dir)
+    # integer zone area as the attribute (zw·zh — integer-lattice exact)
+    vals = z.select(
+        "zone_id",
+        ((F.col("maxx") - F.col("minx")) * (F.col("maxy") - F.col("miny")))
+        .cast("long")
+        .alias("v"),
+    )
+    return rel_diff_neigh_stats(edges, vals)
+
+
+ORACLE_Q83 = _cte("""
+, vals AS (
+  SELECT zone_id, CAST((maxx - minx) * (maxy - miny) AS BIGINT) AS v FROM geo_zones
+), edges AS (
+  SELECT a.zone_id AS zone_a, b.zone_id AS zone_b
+  FROM geo_zones a JOIN geo_zones b
+  ON a.zone_id < b.zone_id
+  AND a.minx <= b.maxx AND a.maxx >= b.minx
+  AND a.miny <= b.maxy AND a.maxy >= b.miny
+), both_dir AS (
+  SELECT zone_a AS zone_id, zone_b AS nbr FROM edges
+  UNION ALL SELECT zone_b, zone_a FROM edges
+), d AS (
+  SELECT b.zone_id, vs.v - vn.v AS d
+  FROM both_dir b JOIN vals vs ON vs.zone_id = b.zone_id
+  JOIN vals vn ON vn.zone_id = b.nbr
+)
+SELECT zone_id, COUNT(*) AS n_neigh,
+       MIN(d) AS min_diff, MAX(d) AS max_diff,
+       CAST(SUM(d) AS BIGINT) AS sum_diff,
+       ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS mean_diff
+FROM d GROUP BY zone_id
+""")
+
+
+def q84_border_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Border-length + relative-border aggregates
+    (calc_border_length / calc_rel_border, rastergis.cpp:1915-1965):
+    classes = synth red band // 64; per (image, class), the count of
+    4-adjacent pixel pairs whose classes differ (per side) and the
+    fraction of that border shared with class 0."""
+    from rsgislib_spark.kernels import bands as BK
+    from rsgislib_spark.operators.clump import label_border_counts
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0).select(
+        "image_key", "w", "h"
+    )
+
+    def _bl(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                cls = BK.synth_band_grid(k, w, h, "red") // 64
+                present, total, with_counts = label_border_counts(cls)
+                for c in present:
+                    nb = int(total[c])
+                    nb0 = int(with_counts.get(int(c), {}).get(0, 0))
+                    rows.append(
+                        (k, int(c), nb, nb0, _round_half_away(nb0 / nb, 6))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_key", "cls", "n_border", "n_b0", "rel_b0"]
+            )
+
+    return gi.mapInPandas(
+        _bl,
+        schema="image_key long, cls int, n_border long, n_b0 long, rel_b0 double",
+    )
+
+
+ORACLE_Q84 = _cte(f"""
+, px AS (
+  SELECT image_key, w, h, gx.px AS px, gy.py AS py,
+         ((image_key*7 + gx.px*13 + gy.py*17) % 251) // 64 AS c
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+), nb AS (
+  SELECT image_key, c,
+         CASE WHEN px + 1 < w AND ((image_key*7 + (px+1)*13 + py*17) % 251) // 64 <> c THEN 1 ELSE 0 END
+         + CASE WHEN px - 1 >= 0 AND ((image_key*7 + (px-1)*13 + py*17) % 251) // 64 <> c THEN 1 ELSE 0 END
+         + CASE WHEN py + 1 < h AND ((image_key*7 + px*13 + (py+1)*17) % 251) // 64 <> c THEN 1 ELSE 0 END
+         + CASE WHEN py - 1 >= 0 AND ((image_key*7 + px*13 + (py-1)*17) % 251) // 64 <> c THEN 1 ELSE 0 END AS n_border,
+         CASE WHEN px + 1 < w AND ((image_key*7 + (px+1)*13 + py*17) % 251) // 64 <> c
+                   AND ((image_key*7 + (px+1)*13 + py*17) % 251) // 64 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN px - 1 >= 0 AND ((image_key*7 + (px-1)*13 + py*17) % 251) // 64 <> c
+                   AND ((image_key*7 + (px-1)*13 + py*17) % 251) // 64 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN py + 1 < h AND ((image_key*7 + px*13 + (py+1)*17) % 251) // 64 <> c
+                   AND ((image_key*7 + px*13 + (py+1)*17) % 251) // 64 = 0 THEN 1 ELSE 0 END
+         + CASE WHEN py - 1 >= 0 AND ((image_key*7 + px*13 + (py-1)*17) % 251) // 64 <> c
+                   AND ((image_key*7 + px*13 + (py-1)*17) % 251) // 64 = 0 THEN 1 ELSE 0 END AS n_b0
+  FROM px
+)
+SELECT image_key, CAST(c AS INT) AS cls,
+       CAST(SUM(n_border) AS BIGINT) AS n_border,
+       CAST(SUM(n_b0) AS BIGINT) AS n_b0,
+       ROUND(CAST(SUM(n_b0) AS DOUBLE) / SUM(n_border), 6) AS rel_b0
+FROM nb GROUP BY 1, 2
+HAVING SUM(n_border) > 0
+""")
+
+
 def q74_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial kNN on the CELL-BUCKETED two-phase join (the north rule's
     "kNN neighbor lookup over cell-bucketed candidates"): bucket → k-ring
@@ -1971,6 +2086,8 @@ QUERIES_EXT = {
     "q80_pca_eigen": q80_pca_eigen,
     "q81_zonal_mode_median": q81_zonal_mode_median,
     "q82_hillshade": q82_hillshade,
+    "q83_neigh_diff_stats": q83_neigh_diff_stats,
+    "q84_border_length": q84_border_length,
     "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
     "q68_distance_transform": q68_distance_transform,
@@ -2088,6 +2205,8 @@ ORACLES_EXT = {
     "q80_pca_eigen": ORACLE_Q80,
     "q81_zonal_mode_median": ORACLE_Q81,
     "q82_hillshade": ORACLE_Q82,
+    "q83_neigh_diff_stats": ORACLE_Q83,
+    "q84_border_length": ORACLE_Q84,
     "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,
     "q41_ann_lsh": ORACLE_Q41,

@@ -32,6 +32,12 @@ def get_spark(
         os.environ["PYTHONPATH"] = (
             pkg_root + (os.pathsep + pypath if pypath else "")
         )
+    # One BLAS thread per python worker: N workers × OpenBLAS's spinning
+    # thread pool oversubscribes the box and ANTI-scales (measured:
+    # image_features 32-core slower than 8-core before this). Kernels are
+    # small-matrix; per-worker threading only ever hurts here.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
         shuffle_partitions = cpus * 2 if n == "*" else max(int(n) * 2, 8)

@@ -43,6 +43,30 @@ class TestRectDifference:
                 cov_grid[gy0:gy1, gx0:gx1] = True
         assert not (grid.astype(bool) & cov_grid).any()
 
+    def test_explode_multi_geoms(self, spark):
+        from rsgislib_spark.kernels import geom
+        from rsgislib_spark.operators.overlay import explode_multi_geoms
+
+        sq = lambda x0, y0, s: np.array(
+            [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s]], float
+        )
+        multi = geom.multipolygon_to_wkb([[sq(0, 0, 2)], [sq(10, 10, 3)]])
+        single = geom.polygon_to_wkb([sq(5, 5, 4)])
+        import pandas as pd
+
+        df = spark.createDataFrame(
+            pd.DataFrame({"zone_id": [1, 2], "geometry": [multi, single]})
+        )
+        got = explode_multi_geoms(df).toPandas().sort_values(["zone_id", "part"])
+        assert list(got["zone_id"]) == [1, 1, 2]
+        assert list(got["part"]) == [0, 1, 0]
+        assert list(got["part_area"]) == [4.0, 9.0, 16.0]
+        # parts round-trip as plain polygons
+        rings = geom.wkb_to_polygon(got.iloc[1]["part_wkb"])
+        assert np.allclose(rings[0], sq(10, 10, 3))
+        # wkb_to_parts on a plain polygon → one part
+        assert len(geom.wkb_to_parts(single)) == 1
+
     def test_no_covers_and_full_cover(self):
         parts, covered = rect_difference_parts((0, 0, 5, 5), np.empty((0, 4), dtype=np.int64))
         assert parts == [(0, 0, 5, 5)] and covered == 0
