@@ -184,6 +184,37 @@ def evi(blue, red, nir, g: float = 2.5, c1: float = 6.0, c2: float = 7.5,
     return np.where(den != 0, g * (n - r) / np.where(den != 0, den, 1.0), _NODATA)
 
 
+# ------------------------------------------------------------------ masks
+# Ref: gen_finite_mask / gen_valid_mask / gen_img_edge_mask
+# (python/src/imageutils.cpp:2494-2539) — per-pixel boolean masks.
+
+
+def finite_mask(arr: np.ndarray) -> np.ndarray:
+    """1 where the pixel is finite (gen_finite_mask)."""
+    return np.isfinite(np.asarray(arr, dtype=np.float64)).astype(np.uint8)
+
+
+def valid_mask(bands: list, no_data_val: float) -> np.ndarray:
+    """1 where EVERY band differs from no_data (gen_valid_mask)."""
+    m = np.ones(np.asarray(bands[0]).shape, dtype=bool)
+    for b in bands:
+        m &= np.asarray(b) != no_data_val
+    return m.astype(np.uint8)
+
+
+def edge_mask(h: int, w: int, n_edge_px: int = 1) -> np.ndarray:
+    """1 for pixels within ``n_edge_px`` of the image edge
+    (gen_img_edge_mask)."""
+    m = np.zeros((h, w), dtype=np.uint8)
+    n = int(n_edge_px)
+    if n > 0:
+        m[:n, :] = 1
+        m[-n:, :] = 1
+        m[:, :n] = 1
+        m[:, -n:] = 1
+    return m
+
+
 def band_stats(arr: np.ndarray) -> dict:
     """min/max/sum/count of one band — integer-exact for integer bands."""
     return {

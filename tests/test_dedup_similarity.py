@@ -77,6 +77,39 @@ def test_ngram_jaccard_fence_blocks_stopword_blowup(spark):
     assert len(fenced) == 0
 
 
+def test_minhash_at_production_permutation_count(spark):
+    """128 permutations / 32 bands (a realistic pipeline config, not the
+    toy default): near-dup pairs are found, disjoint docs are not."""
+    from rsgislib_spark.functions.dedup import minhash_band_pairs
+
+    texts = [
+        " ".join(f"tok{j}" for j in range(50)),                       # base
+        " ".join(f"tok{j}" for j in list(range(48)) + [99, 98]),      # ~92% jaccard
+        " ".join(f"other{j}" for j in range(50)),                     # disjoint
+    ]
+    pdf = pd.DataFrame({"doc_id": range(3), "text": texts})
+    got = minhash_band_pairs(
+        spark.createDataFrame(pdf), n_seeds=128, n_bands=32
+    ).toPandas()
+    pairs = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+    assert (0, 1) in pairs           # near-dup caught (4-row bands, j≈0.92)
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_band_masks():
+    import numpy as np
+
+    from rsgislib_spark.kernels.bands import edge_mask, finite_mask, valid_mask
+
+    a = np.array([[1.0, np.nan], [np.inf, 4.0]])
+    assert finite_mask(a).tolist() == [[1, 0], [0, 1]]
+    b1 = np.array([[0, 2], [3, 0]])
+    b2 = np.array([[1, 2], [0, 4]])
+    assert valid_mask([b1, b2], 0).tolist() == [[0, 1], [0, 0]]
+    em = edge_mask(4, 5, 1)
+    assert em.sum() == 2 * 5 + 2 * 2 and em[1:-1, 1:-1].sum() == 0
+
+
 def test_cosine_block_pairs_raises_above_ceiling(spark):
     from rsgislib_spark.functions.similarity import cosine_block_pairs
 
