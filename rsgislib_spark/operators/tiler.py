@@ -108,3 +108,70 @@ def tile_manifest(tiles: DataFrame) -> DataFrame:
         F.min("cell").alias("min_cell"),
         F.max("cell").alias("max_cell"),
     )
+
+
+def tile_batches(
+    images: DataFrame,
+    block: int = 64,
+    batch_size: int = 32,
+) -> DataFrame:
+    """Batch-of-blocks iterator for DL inference — the Spark shape of
+    ``StdImgBlockIterBatches`` (imageutils/stdimgblockiterbatches.py):
+    decode → FULL-SIZE anchored blocks (the iterator's edge re-anchor
+    rule, kernels.pixelmath.block_windows_anchored) → fixed-size batches
+    of stacked uint8 tensors, batched WITHIN each partition (no shuffle;
+    a model predict step maps over these rows and joins results back on
+    the exploded (image_id, x_block, y_block) list).
+
+    Output rows: (batch_id string, n int, tensor binary [n·th·tw bytes,
+    C-order], image_ids array<string>, xs array<int>, ys array<int>).
+    The trailing batch of a partition may hold fewer than batch_size
+    blocks — exactly like the reference's last yield.
+    """
+    from pyspark import TaskContext
+
+    from rsgislib_spark.kernels.pixelmath import block_windows_anchored
+
+    src = images.select("image_id", "bytes", "w", "h", "fmt")
+    schema = (
+        "batch_id string, n int, tensor binary, image_ids array<string>, "
+        "xs array<int>, ys array<int>"
+    )
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        buf_t, buf_id, buf_x, buf_y = [], [], [], []
+        seq = 0
+        rows = []
+
+        def flush():
+            nonlocal seq, buf_t, buf_id, buf_x, buf_y
+            if not buf_t:
+                return
+            tensor = np.stack(buf_t).astype(np.uint8)
+            rows.append(
+                (f"p{pid}_b{seq}", len(buf_t), tensor.tobytes(),
+                 list(buf_id), [int(v) for v in buf_x], [int(v) for v in buf_y])
+            )
+            seq += 1
+            buf_t, buf_id, buf_x, buf_y = [], [], [], []
+
+        for pdf in it:
+            for rec in pdf.itertuples(index=False):
+                w, h = int(rec.w), int(rec.h)
+                if w < block or h < block:
+                    continue  # reference iterator requires block ≤ image
+                img = codecs.decode_image(rec.bytes, rec.fmt, h, w)
+                for xb, yb, x0, y0, tw, th in block_windows_anchored(w, h, block):
+                    buf_t.append(img[y0 : y0 + th, x0 : x0 + tw])
+                    buf_id.append(rec.image_id)
+                    buf_x.append(xb)
+                    buf_y.append(yb)
+                    if len(buf_t) >= batch_size:
+                        flush()
+        flush()
+        yield pd.DataFrame(
+            rows, columns=["batch_id", "n", "tensor", "image_ids", "xs", "ys"]
+        )
+
+    return src.mapInPandas(_run, schema=schema)

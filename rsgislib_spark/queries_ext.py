@@ -2038,6 +2038,27 @@ HAVING SUM(n_border) > 0
 """)
 
 
+def q85_spatial_join_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The huge×huge spatial-join path: CELL equi-join + exact refine
+    (operators/spatial_join.spatial_join_cells) instead of the broadcast
+    STRtree — the fallback for when the zone side outgrows an executor.
+    Same oracle as q11, proving cells-path == broadcast-path == SQL."""
+    from rsgislib_spark.operators.spatial_join import spatial_join_cells
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark).withColumnRenamed("image_key", "image_id")
+    zones = spark.createDataFrame(_zones_with_wkb(spark))
+    out = spatial_join_cells(gi, zones, join_op="intersects", id_col="image_id")
+    return out.select(F.col("image_id").alias("image_key"), "zone_id")
+
+
+ORACLE_Q85 = _cte("""
+SELECT i.image_key, z.zone_id
+FROM geo_images i JOIN geo_zones z
+ON i.minx <= z.maxx AND i.maxx >= z.minx AND i.miny <= z.maxy AND i.maxy >= z.miny
+""")
+
+
 def q74_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial kNN on the CELL-BUCKETED two-phase join (the north rule's
     "kNN neighbor lookup over cell-bucketed candidates"): bucket → k-ring
@@ -2088,6 +2109,7 @@ QUERIES_EXT = {
     "q82_hillshade": q82_hillshade,
     "q83_neigh_diff_stats": q83_neigh_diff_stats,
     "q84_border_length": q84_border_length,
+    "q85_spatial_join_cells": q85_spatial_join_cells,
     "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
     "q68_distance_transform": q68_distance_transform,
@@ -2207,6 +2229,7 @@ ORACLES_EXT = {
     "q82_hillshade": ORACLE_Q82,
     "q83_neigh_diff_stats": ORACLE_Q83,
     "q84_border_length": ORACLE_Q84,
+    "q85_spatial_join_cells": ORACLE_Q85,
     "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,
     "q41_ann_lsh": ORACLE_Q41,

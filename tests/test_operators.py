@@ -63,6 +63,30 @@ class TestTiler:
         exp = cells.encode_point(np.array([cx]), np.array([cy]), 7)[0]
         assert sub.cell == exp
 
+    def test_tile_batches_dl_iterator(self, spark, images_df, small_images_pdf):
+        from rsgislib_spark.operators.tiler import tile_batches
+
+        bs = 8
+        got = tile_batches(images_df, block=32, batch_size=bs).toPandas()
+        # every batch is full except possibly one per partition
+        assert (got["n"] <= bs).all() and (got["n"] > 0).all()
+        # total block count == anchored-window count over eligible images
+        want = 0
+        for rec in small_images_pdf.itertuples(index=False):
+            if rec.w >= 32 and rec.h >= 32:
+                want += len(pixelmath.block_windows_anchored(rec.w, rec.h, 32))
+        assert got["n"].sum() == want
+        # tensors round-trip: n × 32 × 32 uint8, content matches the decode
+        row = got.iloc[0]
+        t = np.frombuffer(row["tensor"], dtype=np.uint8).reshape(row["n"], 32, 32)
+        src = small_images_pdf.set_index("image_id")
+        rec = src.loc[row["image_ids"][0]]
+        img = codecs.decode_image(rec["bytes"], rec["fmt"], rec["h"], rec["w"])
+        wins = pixelmath.block_windows_anchored(rec["w"], rec["h"], 32)
+        xb, yb = row["xs"][0], row["ys"][0]
+        win = next(w for w in wins if w[0] == xb and w[1] == yb)
+        assert np.array_equal(t[0], img[win[3]:win[3]+32, win[2]:win[2]+32])
+
     def test_manifest(self, spark, images_df, small_images_pdf):
         tiles = tile_images(images_df, 64, 64)
         man = tile_manifest(tiles).toPandas()
