@@ -3,9 +3,10 @@
 The engine-side counterpart of the reference's GDAL-warp interp methods
 (``resample_img_to_match`` with 7 methods, enum
 python/rsgislib/__init__.py:214-220; imageutils/__init__.py:2104-2209).
-Implemented: nearest, bilinear, cubic (Keys a=-0.5), average (block),
-mode (block) — the methods the fixtures exercise. lanczos/cubicspline
-are intentionally absent (documented gap).
+Implemented — all 7 reference methods: nearest, bilinear, cubic (Keys
+a=-0.5), cubicspline (cubic B-spline kernel, GDAL's smoothing variant —
+no IIR prefilter), lanczos (windowed sinc, a=3), average (block),
+mode (block).
 
 Convention: HALF-PIXEL centres (GDAL's): source coordinate of output
 pixel d along an axis is ``(d + 0.5) * scale - 0.5`` with
@@ -91,6 +92,64 @@ def resample_cubic(src: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return out
 
 
+def _tap_resample(src: np.ndarray, out_w: int, out_h: int, taps: int,
+                  weight_fn) -> np.ndarray:
+    """Generic separable tap-loop resampler: ``taps`` support points per
+    axis centred at floor(coord) − taps/2 + 1, weights from
+    ``weight_fn(offset_array)``; weights renormalised per position (the
+    GDAL convention for windowed kernels at edges)."""
+    h, w = src.shape
+    half = taps // 2
+    sx = np.clip(_src_coords(out_w, w), 0.0, w - 1.0)
+    sy = np.clip(_src_coords(out_h, h), 0.0, h - 1.0)
+    x0 = np.floor(sx).astype(np.int64)
+    y0 = np.floor(sy).astype(np.int64)
+    fx = sx - x0
+    fy = sy - y0
+    wx = np.stack([weight_fn(fx - (j - half + 1)) for j in range(taps)])  # (taps, out_w)
+    wy = np.stack([weight_fn(fy - (j - half + 1)) for j in range(taps)])
+    wx /= wx.sum(axis=0, keepdims=True)
+    wy /= wy.sum(axis=0, keepdims=True)
+    s = src.astype(np.float64)
+    out = np.zeros((out_h, out_w), dtype=np.float64)
+    for j in range(taps):
+        yy = np.clip(y0 + j - half + 1, 0, h - 1)
+        row = np.zeros((out_h, out_w), dtype=np.float64)
+        for i in range(taps):
+            xx = np.clip(x0 + i - half + 1, 0, w - 1)
+            row += s[np.ix_(yy, xx)] * wx[i][None, :]
+        out += row * wy[j][:, None]
+    return out
+
+
+def _lanczos_weight(x: np.ndarray, a: int = 3) -> np.ndarray:
+    x = np.asarray(x, np.float64)
+    out = np.sinc(x) * np.sinc(x / a)
+    return np.where(np.abs(x) < a, out, 0.0)
+
+
+def resample_lanczos(src: np.ndarray, out_w: int, out_h: int, a: int = 3) -> np.ndarray:
+    """Lanczos windowed-sinc (GDAL 'lanczos', a=3 → 6 taps/axis)."""
+    return _tap_resample(src, out_w, out_h, 2 * a, lambda x: _lanczos_weight(x, a))
+
+
+def _bspline3_weight(x: np.ndarray) -> np.ndarray:
+    ax = np.abs(np.asarray(x, np.float64))
+    out = np.zeros_like(ax)
+    m1 = ax < 1.0
+    out[m1] = (4.0 - 6.0 * ax[m1] ** 2 + 3.0 * ax[m1] ** 3) / 6.0
+    m2 = (ax >= 1.0) & (ax < 2.0)
+    out[m2] = (2.0 - ax[m2]) ** 3 / 6.0
+    return out
+
+
+def resample_cubicspline(src: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Cubic B-spline kernel (GDAL 'cubicspline'): smoothing — applies
+    the B3 kernel directly, no interpolation prefilter, so node values
+    are smoothed rather than preserved."""
+    return _tap_resample(src, out_w, out_h, 4, _bspline3_weight)
+
+
 def resample_average(src: np.ndarray, factor: int) -> np.ndarray:
     """Integer-factor block mean (GDAL 'average' on exact factors)."""
     h, w = src.shape
@@ -117,6 +176,8 @@ METHODS = {
     "nearest": resample_nearest,
     "bilinear": resample_bilinear,
     "cubic": resample_cubic,
+    "cubicspline": resample_cubicspline,
+    "lanczos": resample_lanczos,
 }
 
 

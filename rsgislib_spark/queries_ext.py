@@ -389,12 +389,15 @@ def q44_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("c_custkey")
         ).distinct()
     )
-    rows = [
-        ("intersect", a.intersect(b).count()),
-        ("a_except_b", a.subtract(b).count()),
-        ("union", a.union(b).distinct().count()),
-    ]
-    return spark.createDataFrame(rows, "op string, n long")
+    # one plan, one job — not three driver-side .count() actions
+    def _counted(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        _counted("intersect", a.intersect(b))
+        .unionByName(_counted("a_except_b", a.subtract(b)))
+        .unionByName(_counted("union", a.union(b).distinct()))
+    )
 
 
 ORACLE_Q44 = """

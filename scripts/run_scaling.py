@@ -14,7 +14,8 @@ Protocol (documented in BENCH/BASELINE.md):
    is shared and shows multi-second noise spikes);
  - replicate=128 (≈2.56M images at sf0.1) so per-task compute dominates
    fixed scheduling cost the way it does at the 10^12-image target scale;
- - n_partitions = 8× cores: measured straggler wave-tail skew is the
+ - n_partitions = 16× cores (round-2 sweep: 16× beat 8× by ~6% at 32
+   cores): measured straggler wave-tail skew is the
    largest remaining loss at 32 cores, and finer tasks smooth it.
 
 Writes BENCH/BASELINE.md and prints one JSON line.
@@ -42,11 +43,11 @@ spark = get_spark(master=f"local[{{cpus}}]", app_name=f"scaling_{{cpus}}",
                   shuffle_partitions=cpus * 2,
                   extra_conf={{"spark.sql.execution.arrow.maxRecordsPerBatch": "8192"}})
 n_images = spark.read.parquet(f"{{sf_dir}}/part.parquet").count() * rep
-north_star(spark, sf_dir, n_partitions=cpus * 8, replicate=rep).collect()  # full-size warmup
+north_star(spark, sf_dir, n_partitions=cpus * 16, replicate=rep).collect()  # full-size warmup
 walls = []
 for _ in range(int(sys.argv[4])):
     t0 = time.perf_counter()
-    rows = north_star(spark, sf_dir, n_partitions=cpus * 8, replicate=rep).collect()
+    rows = north_star(spark, sf_dir, n_partitions=cpus * 16, replicate=rep).collect()
     walls.append(time.perf_counter() - t0)
 print(json.dumps({{"cpus": cpus, "wall_s": min(walls), "walls": walls,
                    "n_images": n_images, "n_zones": len(rows)}}))

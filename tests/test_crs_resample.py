@@ -119,6 +119,29 @@ class TestResample:
         # Keys kernel can overshoot but stays near the data range
         assert up.min() > -30 and up.max() < 290
 
+    def test_lanczos_identity_and_constancy(self):
+        g = self._grid()
+        # normalised windowed sinc: identity at nodes, DC preserved
+        assert np.allclose(resample.resample_lanczos(g, 16, 12), g, atol=1e-9)
+        const = np.full((9, 9), 17.0)
+        assert np.allclose(resample.resample_lanczos(const, 14, 6), 17.0)
+
+    def test_cubicspline_smooths_but_preserves_dc(self):
+        const = np.full((10, 10), 33.0)
+        assert np.allclose(resample.resample_cubicspline(const, 15, 7), 33.0)
+        imp = np.zeros((11, 11))
+        imp[5, 5] = 90.0
+        out = resample.resample_cubicspline(imp, 11, 11)
+        # B-spline kernel SMOOTHS: the impulse peak drops (no prefilter)
+        assert out[5, 5] < 90.0 and out[5, 5] > 0
+        assert out[4, 5] > 0  # energy spread to neighbours
+
+    def test_resample_dispatch_all_methods(self):
+        g = self._grid()
+        for m in ("nearest", "bilinear", "cubic", "cubicspline", "lanczos"):
+            out = resample.resample(g, 8, 6, m)
+            assert out.shape == (6, 8)
+
     def test_mode_blocks(self):
         g = np.array([[1, 1, 2, 2], [1, 3, 2, 5], [4, 4, 6, 6], [4, 4, 6, 7]])
         out = resample.resample_mode(g, 2)
