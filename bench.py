@@ -45,8 +45,21 @@ def run_bench(sf_dir: str, cpus: int, queries_to_run=None) -> dict:
     spark = get_spark(master=f"local[{cpus}]", app_name="rsgislib_spark_bench")
     timings = {}
     names = queries_to_run or HEADLINE
-    # warm the JVM + parquet footer cache once with a cheap action
+    # Warm the fixed startup paths once so per-query walls measure the
+    # engine, not process bring-up: parquet reader + whole-stage codegen
+    # (a real groupBy-agg) and the Python worker pool (a no-op
+    # mapInPandas). Each query still pays its own codegen compile.
+    from pyspark.sql import functions as F
+
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .groupBy("n_regionkey").agg(F.count("*"), F.sum("n_nationkey"))
+        .collect()
+    )
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
     for name in names:
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
