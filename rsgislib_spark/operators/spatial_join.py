@@ -82,8 +82,17 @@ class ZoneIndex:
 
 
 def _pairs_df(images: DataFrame, zindex_b, join_op: str, id_col: str) -> DataFrame:
-    """Inner pair list (id_col, zone_id) via broadcast index, no shuffle."""
+    """Inner pair list (id_col, zone_id) via broadcast index.
+
+    A THIN input (fewer scan partitions than cores — e.g. one small
+    parquet file) would run the whole match kernel on 1-2 tasks; the
+    skinny (id, bbox) projection is repartitioned up to the default
+    parallelism first. The shuffled rows are ~40 bytes each, so this
+    costs microseconds per thousand images and buys full-width refine."""
     slim = images.select(id_col, "minx", "miny", "maxx", "maxy")
+    par = images.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < par:
+        slim = slim.repartition(par)
     id_type = dict(images.dtypes)[id_col]
     schema = f"{id_col} {id_type}, zone_id long"
 
