@@ -32,9 +32,13 @@ DEFAULT_BANDS = 2
 
 
 def doc_tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct (doc, token) pairs, whitespace tokenization."""
+    """Distinct (doc, token) pairs, whitespace tokenization. A thin
+    input scan is widened first so the explode+hash work spreads over
+    all cores (no-op when the source is already wide)."""
+    from rsgislib_spark.qcommon import widen
+
     return (
-        df.select(id_col, F.explode(F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))).alias("token"))
+        widen(df).select(id_col, F.explode(F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))).alias("token"))
         .distinct()
     )
 

@@ -35,6 +35,20 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Repartition a THIN DataFrame up to the default parallelism.
+
+    Heavy per-row kernels (mapInPandas pixel work) inherit the scan's
+    partition count; a small parquet file arrives in 1-2 partitions and
+    serializes the kernel on 1-2 cores. Rows fed to these kernels are
+    skinny (keys + dims), so the widening shuffle is ~free. At real
+    scale the scan is already wide and this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # --------------------------------------------------------------------------
 # Shared derivation SQL (runs verbatim in Spark AND DuckDB)
 # --------------------------------------------------------------------------

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 # queries_ext closure first.
 from rsgislib_spark.qcommon import (  # noqa: F401
     CELL,
+    widen,
     GEO_IMAGES_SQL,
     GEO_POINTS_SQL,
     GEO_ZONES_SQL,
@@ -332,7 +333,7 @@ def q14_zonal_point_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsgislib_spark.operators.spatial_join import ZoneIndex
 
     load_views(spark, sf_dir)
-    pts = _geo_points(spark)
+    pts = widen(_geo_points(spark))
     zones_pdf = _zones_with_wkb(spark)
     zb = spark.sparkContext.broadcast(ZoneIndex.from_pandas(zones_pdf))
 
@@ -508,7 +509,7 @@ def q19_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsgislib_spark.kernels import pixelmath
 
     load_views(spark, sf_dir)
-    gi = _geo_images(spark).select("image_key", "w", "h")
+    gi = widen(_geo_images(spark).select("image_key", "w", "h"))
     schema = "image_key long, tile_x int, tile_y int, x0 int, y0 int, tw int, th int"
 
     def _tiles(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

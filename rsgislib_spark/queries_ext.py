@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from rsgislib_spark.qcommon import (
     CELL,
+    widen,
     GRID_DIM,
     _cte,
     _geo_images,
@@ -79,7 +80,7 @@ pixels AS (
 
 
 def _px_images(spark: SparkSession) -> DataFrame:
-    return _geo_images(spark).filter(F.col("image_key") % PX_SUBSET == 0)
+    return widen(_geo_images(spark).filter(F.col("image_key") % PX_SUBSET == 0))
 
 
 def q23_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +174,7 @@ def q25_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsgislib_spark.operators.focal import focal_stats_tiled
 
     load_views(spark, sf_dir)
-    gi = _geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0))
     out = focal_stats_tiled(gi, "sum_count", radius=1, tile=128)
     return out.withColumn(
         "mean_focal_mean", F.round(F.col("sum_focal_sum") / F.col("sum_focal_cnt"), 6)
@@ -954,7 +955,7 @@ def q63_clump_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsgislib_spark.operators.clump import clump_images
 
     load_views(spark, sf_dir)
-    gi = _geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0))
     return clump_images(gi, threshold=125, tile=96).orderBy("image_key")
 
 
@@ -1066,7 +1067,7 @@ def q66_band_registration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsgislib_spark.kernels import bands as BK
 
     load_views(spark, sf_dir)
-    gi = _geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0).select(
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)).select(
         "image_key", "w", "h"
     )
 
@@ -1210,7 +1211,7 @@ def q68_distance_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsgislib_spark.kernels.disttrans import chebyshev_distance_transform
 
     load_views(spark, sf_dir)
-    gi = _geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0).select(
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)).select(
         "image_key", "w", "h"
     )
 
@@ -1873,7 +1874,7 @@ def q82_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsgislib_spark.kernels import terrain as TK
 
     load_views(spark, sf_dir)
-    gi = _geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0).select(
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)).select(
         "image_key", "w", "h"
     )
 
@@ -1981,7 +1982,7 @@ def q84_border_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsgislib_spark.operators.clump import label_border_counts
 
     load_views(spark, sf_dir)
-    gi = _geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0).select(
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)).select(
         "image_key", "w", "h"
     )
 
