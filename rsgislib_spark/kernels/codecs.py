@@ -190,7 +190,10 @@ def encode_dct(arr: np.ndarray, quality: int = 90) -> bytes:
     payload = []
     for ch in chans:
         b, H, W = _blockify(ch)
-        coeff = np.einsum("ij,abjk,lk->abil", _DCT_M, b - 128.0, _DCT_M)
+        # M · B · Mᵀ as broadcast matmuls (BLAS-batched — the naive
+        # 3-operand einsum contracts without BLAS and was the decode
+        # bench's hot spot)
+        coeff = _DCT_M @ (b - 128.0) @ _DCT_M.T
         qc = np.round(coeff / q).astype(np.int16)
         payload.append(qc.tobytes())
     body = zlib.compress(b"".join(payload), 6)
@@ -212,7 +215,7 @@ def decode_dct(buf: bytes) -> np.ndarray:
     for c in range(nch):
         qc = np.frombuffer(raw, dtype=np.int16, count=nblocks * 64, offset=c * per)
         qc = qc.reshape(H // 8, W // 8, 8, 8).astype(np.float64) * q
-        blocks = np.einsum("ji,abjk,kl->abil", _DCT_M, qc, _DCT_M)
+        blocks = _DCT_M.T @ qc @ _DCT_M  # Mᵀ · C · M, BLAS-batched
         img = blocks.transpose(0, 2, 1, 3).reshape(H, W) + 128.0
         out.append(np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w])
     return out[0] if nch == 1 else np.stack(out, axis=2)

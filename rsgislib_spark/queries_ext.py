@@ -2063,6 +2063,76 @@ ON i.minx <= z.maxx AND i.maxx >= z.minx AND i.miny <= z.maxy AND i.maxy >= z.mi
 """)
 
 
+def q86_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED classifier training (classification/classsklearn.py
+    train→broadcast→predict pattern, but the training itself is Spark):
+    3 batch-GD logistic-regression steps, each ONE Catalyst aggregation
+    of per-sample sigmoid residuals; weights are driver literals. The
+    oracle replays all 3 steps relationally (same arithmetic order,
+    gradient sums rounded to 9 before each update) and the predicted
+    confusion matrix must hash-match."""
+    from rsgislib_spark.functions.classify import logreg_fit, logreg_predict
+
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark)
+    # linearly separable target (f1 + 2·f2 − f3 ≥ 2000) so the 3-step
+    # model actually learns — the confusion matrix shows real skill, not
+    # a constant predictor
+    label = (F.col("f1") + 2 * F.col("f2") - F.col("f3") >= 2000).cast("int")
+    train = pts.filter("is_train = 1").withColumn("y", label)
+    model = logreg_fit(
+        train, ["f1", "f2", "f3"], "y", n_iter=3, lr=0.5, feat_scale=2000.0
+    )
+    test = pts.filter("is_train = 0").withColumn("true_cls", label)
+    return (
+        logreg_predict(test, model, out="pred_cls")
+        .groupBy("true_cls", "pred_cls")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _lr_step_sql(i: int) -> str:
+    """One unrolled GD step: gradients with weights w{i-1}, update → w{i}."""
+    zi = (f"(w.b + w.w1 * t.x1 + w.w2 * t.x2 + w.w3 * t.x3)")
+    p = f"(1.0 / (1.0 + EXP(-{zi})))"
+    return f"""
+, g{i} AS (
+  SELECT SUM(({p} - t.y) * t.x1) AS s1, SUM(({p} - t.y) * t.x2) AS s2,
+         SUM(({p} - t.y) * t.x3) AS s3, SUM({p} - t.y) AS sb
+  FROM tr t, w{i-1} w
+), w{i} AS (
+  SELECT ROUND(w.w1 - 0.5 * ROUND(g.s1 / n0.n, 9), 9) AS w1,
+         ROUND(w.w2 - 0.5 * ROUND(g.s2 / n0.n, 9), 9) AS w2,
+         ROUND(w.w3 - 0.5 * ROUND(g.s3 / n0.n, 9), 9) AS w3,
+         ROUND(w.b - 0.5 * ROUND(g.sb / n0.n, 9), 9) AS b
+  FROM g{i} g, w{i-1} w, n0
+)"""
+
+
+ORACLE_Q86 = _cte(f"""
+, tr AS (
+  SELECT f1 / 2000.0 AS x1, f2 / 2000.0 AS x2, f3 / 2000.0 AS x3,
+         CASE WHEN f1 + 2 * f2 - f3 >= 2000 THEN 1.0 ELSE 0.0 END AS y
+  FROM geo_points WHERE is_train = 1
+), n0 AS (SELECT COUNT(*) AS n FROM tr)
+, w0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS b)
+{_lr_step_sql(1)}
+{_lr_step_sql(2)}
+{_lr_step_sql(3)}
+, test AS (
+  SELECT f1 / 2000.0 AS x1, f2 / 2000.0 AS x2, f3 / 2000.0 AS x3,
+         CASE WHEN f1 + 2 * f2 - f3 >= 2000 THEN 1 ELSE 0 END AS true_cls
+  FROM geo_points WHERE is_train = 0
+)
+SELECT t.true_cls,
+       CASE WHEN (w.b + w.w1 * t.x1 + w.w2 * t.x2 + w.w3 * t.x3) > 0
+            THEN 1 ELSE 0 END AS pred_cls,
+       COUNT(*) AS n
+FROM test t, w3 w
+GROUP BY 1, 2
+""")
+
+
 def q74_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial kNN on the CELL-BUCKETED two-phase join (the north rule's
     "kNN neighbor lookup over cell-bucketed candidates"): bucket → k-ring
@@ -2114,6 +2184,7 @@ QUERIES_EXT = {
     "q83_neigh_diff_stats": q83_neigh_diff_stats,
     "q84_border_length": q84_border_length,
     "q85_spatial_join_cells": q85_spatial_join_cells,
+    "q86_logreg": q86_logreg,
     "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
     "q68_distance_transform": q68_distance_transform,
@@ -2234,6 +2305,7 @@ ORACLES_EXT = {
     "q83_neigh_diff_stats": ORACLE_Q83,
     "q84_border_length": ORACLE_Q84,
     "q85_spatial_join_cells": ORACLE_Q85,
+    "q86_logreg": ORACLE_Q86,
     "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,
     "q41_ann_lsh": ORACLE_Q41,

@@ -92,6 +92,24 @@ def test_pca_fit_apply_invariants(spark):
     assert white["pc1"].var(ddof=0) == pytest.approx(1.0, rel=1e-6)
 
 
+def test_logreg_learns_separable_boundary(spark):
+    from rsgislib_spark.functions.classify import logreg_fit, logreg_predict
+
+    rng = np.random.default_rng(4)
+    X = rng.uniform(0, 10, size=(400, 2))
+    y = (X[:, 0] + X[:, 1] > 10).astype(int)
+    pdf = pd.DataFrame({"fa": X[:, 0], "fb": X[:, 1], "y": y})
+    df = spark.createDataFrame(pdf)
+    model = logreg_fit(df, ["fa", "fb"], "y", n_iter=60, lr=1.0, feat_scale=10.0)
+    out = logreg_predict(df, model).toPandas()
+    acc = (out["pred"] == out["y"]).mean()
+    # 60 full-batch GD steps: well above the ~0.5 majority baseline
+    assert acc > 0.85, acc
+    # deterministic: refit gives identical weights
+    model2 = logreg_fit(df, ["fa", "fb"], "y", n_iter=60, lr=1.0, feat_scale=10.0)
+    assert model["w"] == model2["w"] and model["b"] == model2["b"]
+
+
 def test_sym3_closed_form_matches_lapack():
     rng = np.random.default_rng(9)
     for _ in range(25):
