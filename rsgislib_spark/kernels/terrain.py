@@ -85,6 +85,58 @@ def shadow_mask_local(
     return (cosi <= 0.0).astype(np.uint8)
 
 
+def cast_shadow_mask(
+    dem: np.ndarray,
+    res: float = 1.0,
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+    max_steps: int | None = None,
+) -> np.ndarray:
+    """TRUE cast-shadow mask by ray marching toward the sun
+    (elevation.cpp shadow op): a cell is shadowed when any DEM sample
+    along the sun ray rises above the ray's climbing line
+    z + dist·tan(altitude). Vectorized over ALL pixels per step (one
+    bilinear DEM sample per step), O(pixels × steps); rays leave the
+    tile edge after ≤ max(h, w) steps. Per halo-tile use at scale the
+    halo must cover the shadow reach (terrain-height / tan(altitude))."""
+    from rsgislib_spark.kernels.resample import bilinear_sample
+
+    d = dem.astype(np.float64)
+    h, w = d.shape
+    # sun direction in grid coords: azimuth 0=N (−y), 90=E (+x)
+    az = np.radians(azimuth)
+    dx = float(np.sin(az))
+    dy = float(-np.cos(az))
+    # snap ~1e-16 trig residue at cardinal azimuths: a 1e-16 drift is
+    # enough to push edge-row rays out of bounds on the first step
+    if abs(dx) < 1e-12:
+        dx = 0.0
+    if abs(dy) < 1e-12:
+        dy = 0.0
+    tan_alt = np.tan(np.radians(altitude))
+    steps = max_steps or int(np.ceil(np.hypot(h, w)))
+    yy, xx = np.mgrid[0:h, 0:w]
+    xx = xx.astype(np.float64).ravel()
+    yy = yy.astype(np.float64).ravel()
+    base = d.ravel()
+    shadow = np.zeros(h * w, dtype=bool)
+    alive = np.ones(h * w, dtype=bool)
+    for s in range(1, steps + 1):
+        px = xx + s * dx
+        py = yy + s * dy
+        oob = (px < 0) | (px > w - 1) | (py < 0) | (py > h - 1)
+        alive &= ~oob  # a ray that left the grid can never be shadowed
+        if not alive.any():
+            break
+        idx = np.flatnonzero(alive)
+        zray = base[idx] + s * res * tan_alt
+        zdem = bilinear_sample(d, px[idx], py[idx])
+        hit = zdem > zray
+        shadow[idx[hit]] = True
+        alive[idx[hit]] = False  # shadowed — stop marching this ray
+    return shadow.reshape(h, w).astype(np.uint8)
+
+
 def _erode3(a: np.ndarray) -> np.ndarray:
     p = np.pad(a, 1, mode="edge")
     out = p[1:-1, 1:-1].copy()

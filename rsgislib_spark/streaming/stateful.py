@@ -96,3 +96,18 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list,
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming EXACTLY-ONCE-per-key dedup for the ingestion pipeline:
+    duplicates of a key arriving within the watermark delay are dropped
+    (state bounded by the watermark — ``dropDuplicatesWithinWatermark``,
+    so the key store does not grow without bound the way a plain
+    streaming dropDuplicates would). The batch analogue is
+    functions/dedup.exact_dup_groups; this is its re-ingestion guard."""
+    return events.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)

@@ -228,3 +228,39 @@ def test_watermarked_window_agg_drops_late_data(spark, stream_dirs):
     got = spark.read.parquet(out).toPandas().set_index("ws").sort_index()
     hour10 = got.loc["2024-01-01 10:00:00"]
     assert hour10["cnt"] == 2 and hour10["sv"] == 3.0  # late 100.0 dropped
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, stream_dirs):
+    from rsgislib_spark.streaming.stateful import dedup_stream
+
+    src, out, ckpt = stream_dirs
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def write_batch(name, ids, times):
+        pdf = pd.DataFrame(
+            {"event_id": ids, "ts": pd.to_datetime(times).astype("datetime64[us]"),
+             "user_id": [1] * len(ids), "event_type": ["click"] * len(ids),
+             "value": [1.0] * len(ids), "props": [""] * len(ids)}
+        )
+        pdf.to_parquet(f"{src}/{name}.parquet", index=False)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            dedup_stream(stream, ["event_id"], delay="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch("b1", [1, 2, 3], ["2024-01-01 00:00:00"] * 3)
+    run_once()
+    # batch 2 re-delivers ids 2 and 3 (within the watermark) + new id 4
+    write_batch("b2", [2, 3, 4], ["2024-01-01 00:10:00"] * 3)
+    run_once()
+    got = spark.read.parquet(out).toPandas()
+    assert sorted(got["event_id"]) == [1, 2, 3, 4]

@@ -49,6 +49,47 @@ class TestTerrain:
         sm = TK.shadow_mask_local(dem, azimuth=90.0, altitude=5.0)
         assert sm[3:-3, 3:-3].all()
 
+    def test_cast_shadow_behind_wall(self):
+        # a tall wall at x=10; sun from the EAST (az 90) at 45°: cells
+        # west of the wall within (height) cells are shadowed
+        dem = np.zeros((9, 21))
+        dem[:, 10] = 5.0
+        sm = TK.cast_shadow_mask(dem, res=1.0, azimuth=90.0, altitude=45.0)
+        # tan(45)=1 → shadow reaches 5 cells west of the wall (x 5..9)
+        assert sm[4, 6] == 1 and sm[4, 9] == 1
+        assert sm[4, 4] == 0  # beyond the shadow length
+        assert sm[4, 12] == 0  # sun side unshadowed
+        # the wall crest itself is lit
+        assert sm[4, 10] == 0
+
+    def test_cast_shadow_flat_and_altitude(self):
+        assert TK.cast_shadow_mask(np.zeros((8, 8))).sum() == 0
+        dem = np.zeros((9, 21)); dem[:, 10] = 5.0
+        lo = TK.cast_shadow_mask(dem, azimuth=90.0, altitude=20.0).sum()
+        hi = TK.cast_shadow_mask(dem, azimuth=90.0, altitude=70.0).sum()
+        assert lo > hi  # lower sun → longer shadows
+
+    def test_cast_shadow_matches_brute(self):
+        rng = np.random.default_rng(8)
+        dem = rng.uniform(0, 6, (14, 14))
+        az, alt = 225.0, 30.0
+        got = TK.cast_shadow_mask(dem, azimuth=az, altitude=alt)
+        dxx = np.sin(np.radians(az)); dyy = -np.cos(np.radians(az))
+        ta = np.tan(np.radians(alt))
+        from rsgislib_spark.kernels.resample import bilinear_sample
+        for y in range(0, 14, 3):
+            for x in range(0, 14, 3):
+                sh = 0
+                for s in range(1, 20):
+                    px, py = x + s * dxx, y + s * dyy
+                    if not (0 <= px <= 13 and 0 <= py <= 13):
+                        break
+                    z = bilinear_sample(dem, np.array([px]), np.array([py]))[0]
+                    if z > dem[y, x] + s * ta:
+                        sh = 1
+                        break
+                assert got[y, x] == sh, (x, y)
+
     def test_dem_fill_fills_pit(self):
         dem = np.full((9, 9), 10.0)
         dem[4, 4] = 1.0  # pit
