@@ -2133,6 +2133,113 @@ GROUP BY 1, 2
 """)
 
 
+# Synthetic 62-bit phash with engineered near-dup clusters (groups of 8
+# keys share a base hash; members 0-4 differ by ≤3 bits, the rest are
+# far) — same integer formula in both engines.
+_PH = (
+    "xor(CAST((image_key // 8) * 2654435761 % 281474976710656 AS BIGINT) * 16384 "
+    "    + CAST((image_key // 8) * 2654435761 % 281474976710656 AS BIGINT) % 16384, "
+    "    CASE image_key % 8 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 "
+    "         WHEN 3 THEN 4 WHEN 4 THEN 3 "
+    "         ELSE image_key * 131071 % 281474976710656 END)"
+)
+def q87_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup mining by 64-bit phash Hamming blocking
+    (functions/dedup.phash_near_dups): 4×16-bit band split — pigeonhole
+    guarantees any pair within Hamming ≤ 3 shares a band — candidates
+    equi-join on (band, sig), exact bit_count verify. The oracle is the
+    BRUTE-FORCE all-pairs Hamming scan, so blocking must lose nothing."""
+    from rsgislib_spark.functions.dedup import phash_near_dups
+
+    load_views(spark, sf_dir)
+    base = (
+        (F.expr("image_key DIV 8") * F.lit(2654435761)) % F.lit(281474976710656)
+    ).cast("long")
+    flips = (
+        F.when(F.col("image_key") % 8 == 0, 0)
+        .when(F.col("image_key") % 8 == 1, 1)
+        .when(F.col("image_key") % 8 == 2, 2)
+        .when(F.col("image_key") % 8 == 3, 4)
+        .when(F.col("image_key") % 8 == 4, 3)
+        .otherwise((F.col("image_key") * 131071) % F.lit(281474976710656))
+        .cast("long")
+    )
+    ph = (base * F.lit(16384) + base % F.lit(16384)).bitwiseXOR(flips)
+    imgs = _geo_images(spark).select(
+        F.col("image_key").alias("img_id"), ph.alias("phash")
+    )
+    out = phash_near_dups(imgs, id_col="img_id", max_bits=3)
+    return out.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+ORACLE_Q87 = _cte(f"""
+, ph AS (SELECT image_key AS img_id, {_PH} AS phash FROM geo_images)
+SELECT a.img_id AS id_a, b.img_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM ph a JOIN ph b ON a.img_id < b.img_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+""")
+
+
+def q88_morphology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grayscale morphology (imagemorphology.cpp dilate/erode + the
+    gradient composite): 3×3 erode/dilate of the synth red band, rolled
+    up to integer-exact interior sums per image. The oracle evaluates
+    the same min/max over the 9 closed-form neighbour values with
+    LEAST/GREATEST."""
+    from rsgislib_spark.kernels import bands as BK
+    from rsgislib_spark.kernels import focal as FK
+
+    load_views(spark, sf_dir)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)).select(
+        "image_key", "w", "h"
+    )
+
+    def _mo(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                g = BK.synth_band_grid(k, w, h, "red")
+                er = FK.focal_min(g, 1)[1:-1, 1:-1].astype(np.int64)
+                di = FK.focal_max(g, 1)[1:-1, 1:-1].astype(np.int64)
+                rows.append(
+                    (k, er.size, int(er.sum()), int(di.sum()), int((di - er).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_key", "n_px", "sum_erode", "sum_dilate", "sum_gradient"],
+            )
+
+    return gi.mapInPandas(
+        _mo,
+        schema="image_key long, n_px long, sum_erode long, sum_dilate long, sum_gradient long",
+    )
+
+
+_V9 = ", ".join(
+    f"(image_key*7 + (gx.px + {dx})*13 + (gy.py + {dy})*17) % 251"
+    for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+)
+ORACLE_Q88 = _cte(f"""
+, m AS (
+  SELECT image_key, LEAST({_V9}) AS er, GREATEST({_V9}) AS di
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(1, w - 2)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(1, h - 2)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+)
+SELECT image_key, COUNT(*) AS n_px,
+       CAST(SUM(er) AS BIGINT) AS sum_erode,
+       CAST(SUM(di) AS BIGINT) AS sum_dilate,
+       CAST(SUM(di - er) AS BIGINT) AS sum_gradient
+FROM m GROUP BY image_key
+""")
+
+
 def q74_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial kNN on the CELL-BUCKETED two-phase join (the north rule's
     "kNN neighbor lookup over cell-bucketed candidates"): bucket → k-ring
@@ -2185,6 +2292,8 @@ QUERIES_EXT = {
     "q84_border_length": q84_border_length,
     "q85_spatial_join_cells": q85_spatial_join_cells,
     "q86_logreg": q86_logreg,
+    "q87_phash_near_dup": q87_phash_near_dup,
+    "q88_morphology": q88_morphology,
     "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
     "q68_distance_transform": q68_distance_transform,
@@ -2306,6 +2415,8 @@ ORACLES_EXT = {
     "q84_border_length": ORACLE_Q84,
     "q85_spatial_join_cells": ORACLE_Q85,
     "q86_logreg": ORACLE_Q86,
+    "q87_phash_near_dup": ORACLE_Q87,
+    "q88_morphology": ORACLE_Q88,
     "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,
     "q41_ann_lsh": ORACLE_Q41,
