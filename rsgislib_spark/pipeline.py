@@ -478,8 +478,11 @@ def north_star(
     from rsgislib_spark.operators.spatial_join import ZoneIndex
 
     imgs = images_df(spark, sf_dir, replicate)
-    if n_partitions:
-        imgs = imgs.repartition(n_partitions, "image_key")
+    if n_partitions is None:
+        # the part scan is 1-2 partitions at bench scale — without an
+        # explicit width the whole fused kernel would run on 1-2 cores
+        n_partitions = spark.sparkContext.defaultParallelism * 4
+    imgs = imgs.repartition(n_partitions, "image_key")
 
     zindex_b = spark.sparkContext.broadcast(
         ZoneIndex.from_pandas(load_zones_pdf(sf_dir))
