@@ -72,7 +72,11 @@ def minhash_band_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band signature."""
     rows = n_seeds // n_bands
-    sig = minhash_signatures(doc_tokens(df, id_col, text_col), n_seeds, id_col)
+    # persist the signatures: the band self-join evaluates BOTH sides,
+    # and without this the whole token explode + distinct + min-hash
+    # aggregation recomputes once per side (measured 2-3× the wall).
+    # n_docs × n_seeds short strings — small relative to the corpus.
+    sig = minhash_signatures(doc_tokens(df, id_col, text_col), n_seeds, id_col).persist()
     bands = []
     for b in range(n_bands):
         cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
@@ -117,7 +121,9 @@ def ngram_jaccard_pairs(
     behaviour is the classic exact all-pairs index join — the verify
     stage after LSH blocking, where the input is already candidates.
     """
-    toks = doc_tokens(df, id_col, text_col)
+    # the inverted-index self-join + sizes join evaluate the token
+    # explode up to 4×; persist the (doc, token) pairs once
+    toks = doc_tokens(df, id_col, text_col).persist()
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
     if max_token_df is not None:
         tok_df = toks.groupBy("token").agg(F.count("*").alias("tdf"))
