@@ -153,7 +153,12 @@ def knn_points_bucketed(
     outs = []
     while True:
         ring = min(ring, max_ring)
-        final_round = ring >= max_ring or ring * cell >= dist_thres
+        # a ring beyond the explode cutoff finalizes via cross-join: the
+        # cross-join is EXACT for any ring (all points are candidates),
+        # and a (2r+1)² explode at large r is far worse
+        final_round = (
+            ring >= max_ring or ring * cell >= dist_thres or ring > XJOIN_RING
+        )
         base = remaining.select("query_id", "qx", "qy", "_qix", "_qiy")
         if final_round and ring > XJOIN_RING:
             # exact last resort: all points are candidates (no broadcast —
@@ -173,6 +178,139 @@ def knn_points_bucketed(
             (F.col("qx") - F.col("tx")) * (F.col("qx") - F.col("tx"))
             + (F.col("qy") - F.col("ty")) * (F.col("qy") - F.col("ty")),
         )
+        if np.isfinite(dist_thres):
+            cand = cand.filter(F.col("d2") < F.lit(thres2))
+        win = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("nbr_id"))
+        ranked = (
+            cand.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "nbr_id", "d2", "rank")
+        )
+        if final_round:
+            outs.append(ranked)
+            break
+        ranked = ranked.persist()
+        guar2 = float(ring * cell) ** 2
+        resolved = (
+            ranked.groupBy("query_id")
+            .agg(F.count("*").alias("cnt"), F.max("d2").alias("maxd2"))
+            .filter((F.col("cnt") >= k) & (F.col("maxd2") <= F.lit(guar2)))
+            .select("query_id")
+        )
+        outs.append(ranked.join(resolved, "query_id"))
+        remaining = remaining.join(resolved, "query_id", "left_anti").persist()
+        if remaining.isEmpty():
+            break
+        ring *= 4
+
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def knn_features_bucketed(
+    queries: DataFrame,
+    points: DataFrame,
+    feat_cols: Sequence[str],
+    k: int = 12,
+    cell: float = 100.0,
+    dist_thres: float = np.inf,
+    id_col: str = "pt_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact FEATURE-SPACE kNN over d-dimensional grid buckets — the
+    scale path for ``apply_rat_knn``'s euclidean metric when the
+    training side outgrows a broadcast (ref RSGISRATKNN.cpp:390-420
+    linearly scans all training rows; knn_apply broadcasts them; this
+    restricts the scan to the Chebyshev cell neighbourhood).
+
+    Same two-phase + ring-escalation design as
+    :func:`knn_points_bucketed`, generalised to d dims: cell key =
+    Σ floor(f_j / cell)·GRID^j, candidates = the (2r+1)^d ring (one
+    chained explode per dimension, pure Catalyst), exact refine +
+    row_number ≤ k, resolution guarantee d_k ≤ r·cell. Returns
+    (query_id, nbr_id, d2, rank). Feature indices must fit 21 bits per
+    dimension and d ≤ 3 for the packed key (the catalog's RAT features
+    do; wider feature spaces should use LSH instead — documented)."""
+    d = len(feat_cols)
+    if d < 1 or d > 3:
+        raise ValueError("knn_features_bucketed supports 1-3 feature dims")
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[F.col(c).cast("double").alias(f"q{j}") for j, c in enumerate(feat_cols)],
+    )
+    t = points.select(
+        F.col(id_col).alias("nbr_id"),
+        *[F.col(c).cast("double").alias(f"t{j}") for j, c in enumerate(feat_cols)],
+    )
+
+    def key_from(prefix: str, df: DataFrame, offsets=None) -> F.Column:
+        # radix-packed d-digit key; digits shifted by half the radix so
+        # negative feature indices stay injective (signed digits with
+        # magnitude near GRID_DIM/2 would otherwise collide across
+        # adjacent high digits)
+        kcol = F.lit(0).cast("long")
+        for j in range(d):
+            idx = F.floor(F.col(f"{prefix}{j}") / F.lit(cell)).cast("long") + F.lit(
+                GRID_DIM // 2
+            )
+            if offsets is not None:
+                idx = idx + F.col(f"_o{j}")
+            kcol = kcol * F.lit(GRID_DIM) + idx
+        return kcol
+
+    t = t.withColumn("cell_key", key_from("t", t))
+
+    stats = points.agg(
+        *[(F.max(c) - F.min(c)).alias(f"s{j}") for j, c in enumerate(feat_cols)],
+        F.count("*").alias("n"),
+    ).first()
+    span = max(float(stats[f"s{j}"] or 0.0) for j in range(d))
+    n_points = int(stats["n"])
+    max_ring = max(1, int(math.ceil(span / cell)) + 1)
+    thres2 = dist_thres * dist_thres
+    vol = max(span, cell) ** d
+    density = n_points / vol if vol > 0 else 0.0
+    if density > 0:
+        # radius of the d-ball expected to hold k points (d ≤ 3)
+        ball = {1: 2.0, 2: math.pi, 3: 4.0 * math.pi / 3.0}[d]
+        r_expect = ((k + 1) / (ball * density)) ** (1.0 / d)
+        ring = max(1, int(math.ceil(r_expect / cell)))
+    else:
+        ring = 1
+    ring = min(ring, max_ring)
+    XJOIN_RING = {1: 2048, 2: 64, 3: 16}[d]
+
+    remaining = q0
+    outs = []
+    while True:
+        ring = min(ring, max_ring)
+        # a ring beyond the explode cutoff finalizes via cross-join: the
+        # cross-join is EXACT for any ring (all points are candidates),
+        # and a (2r+1)^d explode at large r is astronomically worse
+        final_round = (
+            ring >= max_ring or ring * cell >= dist_thres or ring > XJOIN_RING
+        )
+        base = remaining
+        if final_round and ring > XJOIN_RING:
+            cand = base.crossJoin(t.drop("cell_key"))
+        else:
+            qe = base
+            for j in range(d):
+                qe = qe.withColumn(
+                    f"_o{j}",
+                    F.explode(F.expr(f"sequence({-ring}, {ring})")),
+                )
+            qe = qe.withColumn("cell_key", key_from("q", qe, offsets=True))
+            cand = qe.join(t.hint("shuffle_hash"), "cell_key")
+        if exclude_self:
+            cand = cand.filter(F.col("query_id") != F.col("nbr_id"))
+        d2 = F.lit(0.0)
+        for j in range(d):
+            diff = F.col(f"q{j}") - F.col(f"t{j}")
+            d2 = d2 + diff * diff
+        cand = cand.withColumn("d2", d2)
         if np.isfinite(dist_thres):
             cand = cand.filter(F.col("d2") < F.lit(thres2))
         win = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("nbr_id"))

@@ -2240,6 +2240,44 @@ FROM m GROUP BY image_key
 """)
 
 
+def q89_knn_features_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-SPACE kNN over d-dimensional grid buckets
+    (operators/knn.knn_features_bucketed) — the scale path for
+    apply_rat_knn when the training table outgrows a broadcast: 3-D cell
+    equi-join on (f1,f2,f3) buckets + ring escalation, proven exact
+    against the brute-force oracle (same statement q74 makes for
+    spatial kNN)."""
+    from rsgislib_spark.operators.knn import knn_features_bucketed
+
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark)
+    train = pts.filter("is_train = 1").select("pt_id", "f1", "f2", "f3")
+    ap = pts.filter("is_train = 0").select("pt_id", "f1", "f2", "f3")
+    res = knn_features_bucketed(
+        ap, train, ["f1", "f2", "f3"], k=3, cell=200.0, exclude_self=False
+    )
+    return res.select(
+        "query_id", "nbr_id",
+        F.col("d2").cast("long").alias("d2"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+ORACLE_Q89 = _cte("""
+, tr AS (SELECT pt_id, f1, f2, f3 FROM geo_points WHERE is_train = 1),
+ap AS (SELECT pt_id, f1, f2, f3 FROM geo_points WHERE is_train = 0)
+SELECT query_id, nbr_id, CAST(d2 AS BIGINT) AS d2, CAST(rn AS INT) AS rank FROM (
+  SELECT a.pt_id AS query_id, t.pt_id AS nbr_id,
+         (a.f1 - t.f1) * (a.f1 - t.f1) + (a.f2 - t.f2) * (a.f2 - t.f2)
+         + (a.f3 - t.f3) * (a.f3 - t.f3) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY a.pt_id ORDER BY
+           (a.f1 - t.f1) * (a.f1 - t.f1) + (a.f2 - t.f2) * (a.f2 - t.f2)
+           + (a.f3 - t.f3) * (a.f3 - t.f3) ASC, t.pt_id ASC) AS rn
+  FROM ap a CROSS JOIN tr t
+) z WHERE rn <= 3
+""")
+
+
 def q74_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial kNN on the CELL-BUCKETED two-phase join (the north rule's
     "kNN neighbor lookup over cell-bucketed candidates"): bucket → k-ring
@@ -2294,6 +2332,7 @@ QUERIES_EXT = {
     "q86_logreg": q86_logreg,
     "q87_phash_near_dup": q87_phash_near_dup,
     "q88_morphology": q88_morphology,
+    "q89_knn_features_bucketed": q89_knn_features_bucketed,
     "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
     "q68_distance_transform": q68_distance_transform,
@@ -2417,6 +2456,7 @@ ORACLES_EXT = {
     "q86_logreg": ORACLE_Q86,
     "q87_phash_near_dup": ORACLE_Q87,
     "q88_morphology": ORACLE_Q88,
+    "q89_knn_features_bucketed": ORACLE_Q89,
     "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,
     "q41_ann_lsh": ORACLE_Q41,

@@ -404,6 +404,34 @@ class TestKNN:
             n = int(((d2 < 20000.0 ** 2) & (ids != pid)).sum())
             assert cnt.get(pid, 0) == min(n, 5)
 
+    @pytest.mark.parametrize("cell", [30.0, 400.0])
+    def test_knn_features_bucketed_equals_brute(self, spark, points_pdf, cell):
+        """3-D feature grid buckets == brute force, for an undersized
+        cell (multi-round escalation) and a roomy one (single round)."""
+        from rsgislib_spark.operators.knn import knn_features_bucketed
+
+        feats = ["size_px", "x", "y"]  # any 3 numeric cols from the fixture
+        pdf = points_pdf.copy()
+        pdf["size_px"] = (pdf["pt_id"] * 37) % 500
+        k = 3
+        df = spark.createDataFrame(pdf)
+        qs = spark.createDataFrame(pdf.iloc[:30])
+        got = (
+            knn_features_bucketed(qs, df, feats, k=k, cell=cell)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+        )
+        X = pdf[feats].to_numpy(float)
+        ids = pdf["pt_id"].to_numpy()
+        for qrow in pdf.iloc[:30].itertuples(index=False):
+            qv = np.array([getattr(qrow, c) for c in feats], dtype=float)
+            d2 = ((X - qv) ** 2).sum(axis=1)
+            order = np.lexsort((ids, d2))
+            order = order[ids[order] != qrow.pt_id][:k]
+            sub = got[got.query_id == qrow.pt_id]
+            assert list(sub["nbr_id"]) == list(ids[order]), qrow.pt_id
+            assert np.allclose(sub["d2"].to_numpy(), d2[order])
+
     def test_closest_point_join_bucketed_matches_broadcast(self, spark, points_pdf):
         base = spark.createDataFrame(points_pdf.iloc[:50])
         match = spark.createDataFrame(points_pdf.iloc[50:])
