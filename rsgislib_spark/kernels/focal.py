@@ -168,6 +168,42 @@ def kuwahara(arr: np.ndarray, radius: int = 2) -> np.ndarray:
     return np.take_along_axis(means, pick[None], axis=0)[0]
 
 
+def kuwahara_pick_int(arr: np.ndarray, radius: int = 1):
+    """Integer-exact Kuwahara quadrant selection over INTERIOR pixels
+    (all four (r+1)² windows fully inside): per pixel, the sum of the
+    minimum-variance quadrant, comparing the scale-free integer metric
+    n·Σx² − (Σx)² (ties → NW, NE, SW, SE — the same first-wins order the
+    float kernel's argmin uses). Returns (win_sum, n_win) int64 arrays
+    of shape (h−2r, w−2r) — the cross-engine-exact core of `kuwahara`.
+    """
+    a = arr.astype(np.int64)
+    h, w = a.shape
+    r = radius
+    S = np.zeros((h + 1, w + 1), dtype=np.int64)
+    S[1:, 1:] = np.cumsum(np.cumsum(a, 0), 1)
+    S2 = np.zeros((h + 1, w + 1), dtype=np.int64)
+    S2[1:, 1:] = np.cumsum(np.cumsum(a * a, 0), 1)
+
+    def win(y0, x0):
+        """(sum, sumsq) of the (r+1)² window with top-left (y0, x0),
+        vectorized over the interior anchor grid."""
+        ys = np.arange(r, h - r) + y0
+        xs = np.arange(r, w - r) + x0
+        yy0, yy1 = ys[:, None], (ys + r + 1)[:, None]
+        xx0, xx1 = xs[None, :], (xs + r + 1)[None, :]
+        sm = S[yy1, xx1] - S[yy0, xx1] - S[yy1, xx0] + S[yy0, xx0]
+        s2 = S2[yy1, xx1] - S2[yy0, xx1] - S2[yy1, xx0] + S2[yy0, xx0]
+        return sm, s2
+
+    n = (r + 1) ** 2
+    quads = [win(-r, -r), win(-r, 0), win(0, -r), win(0, 0)]  # NW NE SW SE
+    metrics = np.stack([n * s2 - sm * sm for sm, s2 in quads])
+    sums = np.stack([sm for sm, _ in quads])
+    pick = np.argmin(metrics, axis=0)  # first-wins on ties
+    win_sum = np.take_along_axis(sums, pick[None], axis=0)[0]
+    return win_sum, n
+
+
 def lee_filter(arr: np.ndarray, radius: int = 1, noise_var: float | None = None) -> np.ndarray:
     """Lee adaptive speckle filter (apply_lee_filter): out = mean +
     k·(x − mean), k = var/(var + noise_var) from the local window."""

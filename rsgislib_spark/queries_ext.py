@@ -2278,6 +2278,68 @@ SELECT query_id, nbr_id, CAST(d2 AS BIGINT) AS d2, CAST(rn AS INT) AS rank FROM 
 """)
 
 
+def q90_kuwahara(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kuwahara edge-preserving filter (apply_kuwahara_filter,
+    imagefilter/__init__.py stats-filter family): per interior pixel the
+    minimum-variance 2×2 quadrant wins (integer metric n·Σx² − (Σx)²,
+    first-wins ties NW/NE/SW/SE); per-image sums of the winning-quadrant
+    sums are integer-exact against the relational replay."""
+    from rsgislib_spark.kernels import bands as BK
+    from rsgislib_spark.kernels.focal import kuwahara_pick_int
+
+    load_views(spark, sf_dir)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)).select(
+        "image_key", "w", "h"
+    )
+
+    def _ku(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                g = BK.synth_band_grid(k, w, h, "red")
+                win_sum, n = kuwahara_pick_int(g, radius=1)
+                rows.append((k, win_sum.size, int(win_sum.sum())))
+            yield pd.DataFrame(rows, columns=["image_key", "n_px", "sum_win"])
+
+    return gi.mapInPandas(_ku, schema="image_key long, n_px long, sum_win long")
+
+
+def _quad_terms(y0: int, x0: int):
+    """SQL (sum, sumsq) term pair of the 2×2 window with top-left
+    offset (y0, x0) from the pixel, over the closed-form red band."""
+    vs = [
+        f"((image_key*7 + (gx.px + {x0 + dx})*13 + (gy.py + {y0 + dy})*17) % 251)"
+        for dy in (0, 1) for dx in (0, 1)
+    ]
+    sm = " + ".join(vs)
+    s2 = " + ".join(f"{v} * {v}" for v in vs)
+    return f"({sm})", f"({s2})"
+
+
+_QSM = [_quad_terms(y0, x0) for (y0, x0) in ((-1, -1), (-1, 0), (0, -1), (0, 0))]
+_QMETRIC = [f"(4 * {s2} - {sm} * {sm})" for sm, s2 in _QSM]
+_WIN_SM = (
+    f"CASE WHEN {_QMETRIC[0]} <= {_QMETRIC[1]} AND {_QMETRIC[0]} <= {_QMETRIC[2]} "
+    f"AND {_QMETRIC[0]} <= {_QMETRIC[3]} THEN {_QSM[0][0]} "
+    f"WHEN {_QMETRIC[1]} <= {_QMETRIC[2]} AND {_QMETRIC[1]} <= {_QMETRIC[3]} THEN {_QSM[1][0]} "
+    f"WHEN {_QMETRIC[2]} <= {_QMETRIC[3]} THEN {_QSM[2][0]} "
+    f"ELSE {_QSM[3][0]} END"
+)
+
+ORACLE_Q90 = _cte(f"""
+, px AS (
+  SELECT image_key, gx.px AS px, gy.py AS py, {_WIN_SM} AS win_sm
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(1, w - 2)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(1, h - 2)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+)
+SELECT image_key, COUNT(*) AS n_px, CAST(SUM(win_sm) AS BIGINT) AS sum_win
+FROM px GROUP BY image_key
+""")
+
+
 def q74_knn_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial kNN on the CELL-BUCKETED two-phase join (the north rule's
     "kNN neighbor lookup over cell-bucketed candidates"): bucket → k-ring
@@ -2333,6 +2395,7 @@ QUERIES_EXT = {
     "q87_phash_near_dup": q87_phash_near_dup,
     "q88_morphology": q88_morphology,
     "q89_knn_features_bucketed": q89_knn_features_bucketed,
+    "q90_kuwahara": q90_kuwahara,
     "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
     "q68_distance_transform": q68_distance_transform,
@@ -2457,6 +2520,7 @@ ORACLES_EXT = {
     "q87_phash_near_dup": ORACLE_Q87,
     "q88_morphology": ORACLE_Q88,
     "q89_knn_features_bucketed": ORACLE_Q89,
+    "q90_kuwahara": ORACLE_Q90,
     "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,
     "q41_ann_lsh": ORACLE_Q41,

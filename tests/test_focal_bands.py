@@ -124,6 +124,25 @@ def test_focal_operator_remainder_tile_equals_radius(spark):
         assert got[key] == (int(s.sum()), int(c.sum())), (key, w, h)
 
 
+def test_kuwahara_pick_int_vs_brute():
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 251, size=(12, 15)).astype(np.int64)
+    win_sum, n = FK.kuwahara_pick_int(a, radius=1)
+    assert n == 4 and win_sum.shape == (10, 13)
+    for yi in range(10):
+        for xi in range(13):
+            y, x = yi + 1, xi + 1
+            quads = [
+                a[y - 1 : y + 1, x - 1 : x + 1],
+                a[y - 1 : y + 1, x : x + 2],
+                a[y : y + 2, x - 1 : x + 1],
+                a[y : y + 2, x : x + 2],
+            ]
+            metrics = [4 * int((q * q).sum()) - int(q.sum()) ** 2 for q in quads]
+            pick = int(np.argmin(metrics))  # first-wins
+            assert win_sum[yi, xi] == int(quads[pick].sum()), (y, x)
+
+
 def test_hash_bucket_stable_and_partition_invariant(spark):
     from pyspark.sql import functions as F
 
