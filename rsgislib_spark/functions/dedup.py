@@ -72,11 +72,16 @@ def minhash_band_pairs(
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >=1 LSH band signature."""
     rows = n_seeds // n_bands
-    # persist the signatures: the band self-join evaluates BOTH sides,
-    # and without this the whole token explode + distinct + min-hash
-    # aggregation recomputes once per side (measured 2-3× the wall).
+    # materialize the signatures once: the band self-join evaluates BOTH
+    # sides, and without this the whole token explode + distinct +
+    # min-hash aggregation recomputes once per side (measured 2-3× the
+    # wall). localCheckpoint (not persist) so the blocks are reclaimed by
+    # the ContextCleaner when the result plan is GC'd — a plain persist
+    # leaks a CacheManager entry per invocation in a long-lived session.
     # n_docs × n_seeds short strings — small relative to the corpus.
-    sig = minhash_signatures(doc_tokens(df, id_col, text_col), n_seeds, id_col).persist()
+    sig = minhash_signatures(
+        doc_tokens(df, id_col, text_col), n_seeds, id_col
+    ).localCheckpoint(eager=True)
     bands = []
     for b in range(n_bands):
         cols = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
@@ -122,8 +127,10 @@ def ngram_jaccard_pairs(
     stage after LSH blocking, where the input is already candidates.
     """
     # the inverted-index self-join + sizes join evaluate the token
-    # explode up to 4×; persist the (doc, token) pairs once
-    toks = doc_tokens(df, id_col, text_col).persist()
+    # explode up to 4×; materialize the (doc, token) pairs once
+    # (localCheckpoint — auto-reclaimed on GC, unlike persist which
+    # would accumulate CacheManager entries across invocations)
+    toks = doc_tokens(df, id_col, text_col).localCheckpoint(eager=True)
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"))
     if max_token_df is not None:
         tok_df = toks.groupBy("token").agg(F.count("*").alias("tdf"))

@@ -70,6 +70,22 @@ def _with_cell_key(df: DataFrame, cell: float, x: str, y: str, out: str) -> Data
     )
 
 
+def _union_and_release(outs: list, persisted: list) -> DataFrame:
+    """Union the per-round outputs; when the escalation loop cached
+    intermediates, materialize the union once (localCheckpoint — the
+    blocks are reclaimed by the ContextCleaner on GC) and release the
+    round caches, so repeated invocations in a long-lived session don't
+    accumulate persisted blocks until the storage pool evicts."""
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    if persisted:
+        out = out.localCheckpoint(eager=True)
+        for p in persisted:
+            p.unpersist()
+    return out
+
+
 def knn_points_bucketed(
     queries: DataFrame,
     points: DataFrame,
@@ -121,14 +137,34 @@ def knn_points_bucketed(
     t = _with_cell_key(t, cell, "tx", "ty", "cell_key")
 
     stats = points.agg(
-        (F.max(x_col) - F.min(x_col)).alias("sx"),
-        (F.max(y_col) - F.min(y_col)).alias("sy"),
+        F.min(x_col).alias("pminx"),
+        F.max(x_col).alias("pmaxx"),
+        F.min(y_col).alias("pminy"),
+        F.max(y_col).alias("pmaxy"),
         F.count("*").alias("n"),
     ).first()
-    world_span = max(float(stats["sx"] or 0.0), float(stats["sy"] or 0.0))
+    qstats = queries.agg(
+        F.min(x_col).alias("qminx"),
+        F.max(x_col).alias("qmaxx"),
+        F.min(y_col).alias("qminy"),
+        F.max(y_col).alias("qmaxy"),
+    ).first()
+    world_span = max(
+        float(stats["pmaxx"] or 0.0) - float(stats["pminx"] or 0.0),
+        float(stats["pmaxy"] or 0.0) - float(stats["pminy"] or 0.0),
+    )
+    # span of the COMBINED query+point extent: a query outside the point
+    # bbox must still reach every point cell on the forced final ring, so
+    # max_ring is derived from both tables, not the points alone
+    comb_span = max(
+        max(float(stats["pmaxx"] or 0.0), float(qstats["qmaxx"] or 0.0))
+        - min(float(stats["pminx"] or 0.0), float(qstats["qminx"] or 0.0)),
+        max(float(stats["pmaxy"] or 0.0), float(qstats["qmaxy"] or 0.0))
+        - min(float(stats["pminy"] or 0.0), float(qstats["qminy"] or 0.0)),
+    )
     n_points = int(stats["n"])
     # ring that covers every point from any query — the forced last round
-    max_ring = max(1, int(math.ceil(world_span / cell)) + 1)
+    max_ring = max(1, int(math.ceil(comb_span / cell)) + 1)
     thres2 = dist_thres * dist_thres
 
     # density-informed initial ring: radius expected to contain k points
@@ -151,6 +187,7 @@ def knn_points_bucketed(
     ).withColumn("_qiy", F.floor(F.col("qy") / F.lit(cell)).cast("long"))
 
     outs = []
+    persisted = []
     while True:
         ring = min(ring, max_ring)
         # a ring beyond the explode cutoff finalizes via cross-join: the
@@ -190,6 +227,7 @@ def knn_points_bucketed(
             outs.append(ranked)
             break
         ranked = ranked.persist()
+        persisted.append(ranked)
         guar2 = float(ring * cell) ** 2
         resolved = (
             ranked.groupBy("query_id")
@@ -199,14 +237,12 @@ def knn_points_bucketed(
         )
         outs.append(ranked.join(resolved, "query_id"))
         remaining = remaining.join(resolved, "query_id", "left_anti").persist()
+        persisted.append(remaining)
         if remaining.isEmpty():
             break
         ring *= 4
 
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return _union_and_release(outs, persisted)
 
 
 def knn_features_bucketed(
@@ -263,12 +299,27 @@ def knn_features_bucketed(
     t = t.withColumn("cell_key", key_from("t", t))
 
     stats = points.agg(
-        *[(F.max(c) - F.min(c)).alias(f"s{j}") for j, c in enumerate(feat_cols)],
+        *[F.min(c).alias(f"pmin{j}") for j, c in enumerate(feat_cols)],
+        *[F.max(c).alias(f"pmax{j}") for j, c in enumerate(feat_cols)],
         F.count("*").alias("n"),
     ).first()
-    span = max(float(stats[f"s{j}"] or 0.0) for j in range(d))
+    qstats = queries.agg(
+        *[F.min(c).alias(f"qmin{j}") for j, c in enumerate(feat_cols)],
+        *[F.max(c).alias(f"qmax{j}") for j, c in enumerate(feat_cols)],
+    ).first()
+    span = max(
+        float(stats[f"pmax{j}"] or 0.0) - float(stats[f"pmin{j}"] or 0.0)
+        for j in range(d)
+    )
+    # combined query+point span per dim — queries outside the point bbox
+    # must still reach every point cell on the forced final ring
+    comb_span = max(
+        max(float(stats[f"pmax{j}"] or 0.0), float(qstats[f"qmax{j}"] or 0.0))
+        - min(float(stats[f"pmin{j}"] or 0.0), float(qstats[f"qmin{j}"] or 0.0))
+        for j in range(d)
+    )
     n_points = int(stats["n"])
-    max_ring = max(1, int(math.ceil(span / cell)) + 1)
+    max_ring = max(1, int(math.ceil(comb_span / cell)) + 1)
     thres2 = dist_thres * dist_thres
     vol = max(span, cell) ** d
     density = n_points / vol if vol > 0 else 0.0
@@ -284,6 +335,7 @@ def knn_features_bucketed(
 
     remaining = q0
     outs = []
+    persisted = []
     while True:
         ring = min(ring, max_ring)
         # a ring beyond the explode cutoff finalizes via cross-join: the
@@ -323,6 +375,7 @@ def knn_features_bucketed(
             outs.append(ranked)
             break
         ranked = ranked.persist()
+        persisted.append(ranked)
         guar2 = float(ring * cell) ** 2
         resolved = (
             ranked.groupBy("query_id")
@@ -332,14 +385,12 @@ def knn_features_bucketed(
         )
         outs.append(ranked.join(resolved, "query_id"))
         remaining = remaining.join(resolved, "query_id", "left_anti").persist()
+        persisted.append(remaining)
         if remaining.isEmpty():
             break
         ring *= 4
 
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    return _union_and_release(outs, persisted)
 
 
 def radius_count_bucketed(
@@ -424,6 +475,51 @@ def _summarize(vals: np.ndarray, how: str) -> float:
     raise ValueError(f"summary must be one of {SUMMARIES}")
 
 
+def _summarize_rows(vals: np.ndarray, valid: np.ndarray, how: str) -> np.ndarray:
+    """Row-wise neighbour summaries over a (nq, kk) candidate value
+    matrix with a validity mask — batch-vectorized (no per-row Python).
+    Rows with no valid neighbour return NaN. Semantics match
+    :func:`_summarize` per row: population stddev, numpy even-count
+    median, mode ties → smallest value."""
+    nq = vals.shape[0]
+    n = valid.sum(axis=1)
+    out = np.full(nq, np.nan)
+    rows = n > 0
+    if not rows.any():
+        return out
+    if how == "mean":
+        s = np.where(valid, vals, 0.0).sum(axis=1)
+        out[rows] = s[rows] / n[rows]
+    elif how == "min":
+        out[rows] = np.where(valid, vals, np.inf).min(axis=1)[rows]
+    elif how == "max":
+        out[rows] = np.where(valid, vals, -np.inf).max(axis=1)[rows]
+    elif how == "stddev":
+        s = np.where(valid, vals, 0.0).sum(axis=1)
+        mean = np.zeros(nq)
+        mean[rows] = s[rows] / n[rows]
+        dev2 = np.where(valid, (vals - mean[:, None]) ** 2, 0.0).sum(axis=1)
+        out[rows] = np.sqrt(dev2[rows] / n[rows])
+    elif how == "median":
+        srt = np.sort(np.where(valid, vals, np.inf), axis=1)
+        idx = np.arange(nq)
+        lo = np.maximum(n - 1, 0) // 2
+        hi = n // 2
+        med = (srt[idx, lo] + srt[idx, np.minimum(hi, vals.shape[1] - 1)]) / 2.0
+        out[rows] = med[rows]
+    elif how == "mode":
+        u = np.unique(vals[valid])
+        codes = np.searchsorted(u, vals)
+        counts = np.zeros((nq, len(u)), dtype=np.int64)
+        ridx = np.broadcast_to(np.arange(nq)[:, None], vals.shape)
+        np.add.at(counts, (ridx[valid], codes[valid]), 1)
+        # argmax picks the FIRST max → smallest value (u is sorted)
+        out[rows] = u[counts.argmax(axis=1)[rows]]
+    else:
+        raise ValueError(f"summary must be one of {SUMMARIES}")
+    return out
+
+
 def knn_apply(
     apply_df: DataFrame,
     train_df: DataFrame,
@@ -465,23 +561,16 @@ def knn_apply(
             q = pdf[list(feat_cols)].to_numpy(np.float64)
             dm = _distances(q, tf, metric, 2.0, vi_)
             ids = pdf[id_col].to_numpy(np.int64)
-            out_val = np.full(len(pdf), np.nan)
-            n_neigh = np.zeros(len(pdf), dtype=np.int32)
-            # top-k per row under threshold
+            # top-k per row under threshold — fully vectorized: argpartition
+            # narrows to kk candidates per row, the mask keeps in-threshold
+            # ones, and the summaries reduce the (batch × kk) block at once
             kk = min(k, dm.shape[1])
             part = np.argpartition(dm, kk - 1, axis=1)[:, :kk]
-            for i in range(len(pdf)):
-                cand = part[i]
-                dd = dm[i, cand]
-                ok = dd < dist_thres
-                if not ok.any():
-                    continue
-                sel = cand[ok]
-                dd = dd[ok]
-                order = np.argsort(dd, kind="stable")
-                sel = sel[order][:k]
-                out_val[i] = _summarize(tv[sel], summary)
-                n_neigh[i] = len(sel)
+            dd = np.take_along_axis(dm, part, axis=1)
+            valid = dd < dist_thres
+            vals = tv[part]
+            out_val = _summarize_rows(vals, valid, summary)
+            n_neigh = valid.sum(axis=1).astype(np.int32)
             yield pd.DataFrame({id_col: ids, "out_val": out_val, "n_neigh": n_neigh})
 
     return src.mapInPandas(_run, schema=schema)
@@ -501,9 +590,10 @@ def closest_point_join(
     match table; ``strategy="bucketed"`` delegates to
     :func:`knn_points_bucketed` with k=1 — no broadcast, scale path.
 
-    Output: base_id, match_id (nullable), dist. Ties broken by smallest
-    match id (deviation from the reference, which raises —
-    ``vectorutils/__init__.py:3428-3434``)."""
+    Output: base_id, closest_id (null when no match within tolerance),
+    dist (NaN when no match — identical across both strategies). Ties
+    broken by smallest match id (deviation from the reference, which
+    raises — ``vectorutils/__init__.py:3428-3434``)."""
     if strategy == "bucketed":
         qdf = base.select(F.col(base_id).alias("pt_id"), "x", "y")
         tdf = match.select(F.col(match_id).alias("pt_id"), "x", "y")
@@ -514,7 +604,13 @@ def closest_point_join(
             F.col("nbr_id").alias("closest_id"),
             F.sqrt("d2").alias("dist"),
         )
-        return base.select(base_id).join(res, base_id, "left")
+        # beyond-tolerance rows: left join yields null dist — normalize to
+        # NaN so both strategies emit the same (null closest_id, NaN dist)
+        return (
+            base.select(base_id)
+            .join(res, base_id, "left")
+            .withColumn("dist", F.coalesce(F.col("dist"), F.lit(float("nan"))))
+        )
     spark = base.sparkSession
     m = match.select(match_id, "x", "y").toPandas()
     b = spark.sparkContext.broadcast(

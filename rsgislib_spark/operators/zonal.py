@@ -285,7 +285,10 @@ def mode_median_from_histogram(
         "n", F.sum(cnt_col).over(W.partitionBy(*keys))
     )
     lo = (
-        cum.filter(F.col("cum") >= (F.col("n") + 1) / 2)
+        # Integer rank (n+1)//2, matching the DuckDB oracle's (n_px+1)//2 —
+        # double division (n+1)/2 would give e.g. 2.5 for n=4 and select the
+        # upper-middle order statistic instead of the lower one.
+        cum.filter(F.col("cum") >= F.floor((F.col("n") + F.lit(1)) / F.lit(2)))
         .groupBy(*key_cols)
         .agg(F.min(value_col).alias("vlo"))
     )

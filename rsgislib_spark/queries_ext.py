@@ -318,14 +318,26 @@ GROUP BY ROLLUP (n_name, c_mktsegment)
 
 # ----------------------------------------------------------- dedup / embed
 
-def q38_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_embed_near_dup(
+    spark: SparkSession, sf_dir: str, max_broadcast_rows: int = 500_000
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — JVM-side dot product via
-    F.aggregate/zip_with (no Python UDF in the pair loop; at scale the
-    pair generation is LSH-bucketed, functions.similarity)."""
+    F.aggregate/zip_with (no Python UDF in the pair loop). This is the
+    O(N²) correctness BASELINE for q41/q42; it broadcasts one full side,
+    so it is fenced with the same explicit row ceiling as
+    ``cosine_block_pairs`` — beyond it, use the LSH/IVF scale paths
+    (functions.similarity)."""
     load_views(spark, sf_dir)
     emb = spark.table("embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    n = emb.count()
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"q38_embed_near_dup broadcasts one full side of an O(N²) "
+            f"crossJoin: {n} rows > max_broadcast_rows={max_broadcast_rows}. "
+            "Use lsh_bucketed_topk/ivf_topk (functions.similarity) instead."
+        )
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
     dot = F.aggregate(

@@ -450,3 +450,96 @@ class TestKNN:
             else:
                 assert a.loc[pid, "closest_id"] == b.loc[pid, "closest_id"]
                 assert a.loc[pid, "dist"] == pytest.approx(b.loc[pid, "dist"])
+
+
+# ------------------------------------------------- round-3 regression fixes
+class TestRound3Fixes:
+    def test_median_even_count_distinct_middles(self, spark):
+        """ADVICE r2 (high): histogram {1:2, 2:1, 3:1} (n=4, middles 1 and
+        2) must give median 1.5 — the double-division rank bug returned
+        2.0 (the upper middle) for even counts with distinct middles."""
+        from rsgislib_spark.operators.zonal import mode_median_from_histogram
+
+        hist = spark.createDataFrame(
+            pd.DataFrame(
+                {"zone_id": [7, 7, 7], "value": [1, 2, 3], "cnt": [2, 1, 1]}
+            )
+        )
+        got = mode_median_from_histogram(hist, ["zone_id"]).toPandas()
+        assert got.loc[0, "median"] == 1.5
+        assert got.loc[0, "mode"] == 1
+        assert got.loc[0, "n_px"] == 4
+        # odd-count sanity: {1:2, 2:1} -> median 1.0
+        hist2 = spark.createDataFrame(
+            pd.DataFrame({"zone_id": [1, 1], "value": [1, 2], "cnt": [2, 1]})
+        )
+        got2 = mode_median_from_histogram(hist2, ["zone_id"]).toPandas()
+        assert got2.loc[0, "median"] == 1.0
+
+    def test_knn_bucketed_query_outside_point_bbox(self, spark, points_pdf):
+        """ADVICE r2 (medium): a query far outside the point bbox must
+        still find its true k nearest — max_ring derived from the points
+        span alone under-covered the forced final ring."""
+        from rsgislib_spark.operators.knn import knn_points_bucketed
+
+        pts = points_pdf.iloc[:60]
+        span = max(
+            pts.x.max() - pts.x.min(), pts.y.max() - pts.y.min()
+        )
+        qpdf = pts.iloc[:5].copy()
+        qpdf["pt_id"] = qpdf["pt_id"] + 1_000_000
+        qpdf["x"] = qpdf["x"] + 3.0 * span  # well outside the point bbox
+        k = 3
+        got = (
+            knn_points_bucketed(
+                spark.createDataFrame(qpdf),
+                spark.createDataFrame(pts),
+                k=k,
+                cell=span / 8.0,  # small cell: points-only max_ring would under-cover
+            )
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+        )
+        xs = pts["x"].to_numpy(float)
+        ys = pts["y"].to_numpy(float)
+        ids = pts["pt_id"].to_numpy()
+        for q in qpdf.itertuples(index=False):
+            d2 = (xs - q.x) ** 2 + (ys - q.y) ** 2
+            order = np.lexsort((ids, d2))[:k]
+            sub = got[got.query_id == q.pt_id]
+            assert list(sub["nbr_id"]) == list(ids[order]), q.pt_id
+            assert np.allclose(sub["d2"].to_numpy(), d2[order])
+
+    def test_closest_point_bucketed_nan_not_null_dist(self, spark, points_pdf):
+        """ADVICE r2 (low): beyond-tolerance rows must emit NaN dist (not
+        SQL NULL) from the bucketed path, matching the broadcast path."""
+        from pyspark.sql import functions as F
+
+        base = spark.createDataFrame(points_pdf.iloc[:20])
+        match = spark.createDataFrame(points_pdf.iloc[50:])
+        res = closest_point_join(base, match, tolerance=1000.0, strategy="bucketed")
+        unmatched = res.filter(F.col("closest_id").isNull())
+        assert unmatched.count() > 0  # fixture guarantees some far points
+        assert unmatched.filter(F.col("dist").isNull()).count() == 0
+        assert unmatched.filter(F.isnan("dist")).count() == unmatched.count()
+
+    @pytest.mark.parametrize(
+        "how", ["mean", "median", "mode", "min", "max", "stddev"]
+    )
+    def test_summarize_rows_matches_scalar(self, how):
+        """The vectorized (batch × k) summarizer must agree with the
+        reference per-row _summarize for every summary, including rows
+        with zero valid neighbours."""
+        from rsgislib_spark.operators.knn import _summarize, _summarize_rows
+
+        rng = np.random.RandomState(7)
+        vals = rng.randint(0, 9, size=(40, 6)).astype(float)
+        valid = rng.rand(40, 6) < 0.7
+        valid[3, :] = False  # a row with no neighbours
+        got = _summarize_rows(vals, valid, how)
+        for i in range(len(vals)):
+            v = vals[i][valid[i]]
+            if v.size == 0:
+                assert np.isnan(got[i])
+            else:
+                assert got[i] == pytest.approx(_summarize(v, how)), (how, i)
