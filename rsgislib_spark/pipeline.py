@@ -219,13 +219,21 @@ def _image_stats_chunk(keys: np.ndarray, w: int, h: int, radius: int):
     per-tile → per-image rollup of :func:`_tile_stats_chunk` fused away
     algebraically (Σ over tiles of tile-sums ≡ whole-image sum), so no
     reduceat/tile assembly runs at all. Same band + focal kernels."""
-    m = len(keys)
     xy = (
         (np.arange(w, dtype=np.int16) * 13)
         + (np.arange(h, dtype=np.int16) * 17)[:, None]
     )
     k7 = ((keys.astype(np.int64) * 7) % 251).astype(np.int16)
     grid = ((k7[:, None, None] + xy) % 251).astype(np.uint8)
+    return _stats_from_grid(grid, radius)
+
+
+def _stats_from_grid(grid: np.ndarray, radius: int):
+    """Whole-image band + focal reductions over a (m, h, w) uint8 pixel
+    stack — the kernel half of :func:`_image_stats_chunk`, shared by the
+    synthetic path (grid derived from keys) and the DECODED path (grid
+    decoded from stored bytes by kernels.codecs)."""
+    m, h, w = grid.shape
 
     row = np.empty((m, h, w), dtype=np.int16)
     g16 = grid.astype(np.int16)
@@ -521,4 +529,190 @@ def north_star_resumable(
     result = north_star(spark, sf_dir, replicate=replicate)
     return resumable_write(
         result, out_dir, id_col="zone_id", n_buckets=n_buckets, stage="north_star"
+    )
+
+
+# ----------------------------------------- decode-inclusive north star
+
+def encode_images_df(
+    spark: SparkSession,
+    sf_dir: str,
+    n_partitions: int | None = None,
+    replicate: int = 1,
+) -> DataFrame:
+    """Bytes-bearing image table (the ``input_hint`` shape): the synthetic
+    band grid of each image ENCODED with the in-house codecs — raw for
+    even keys, png-class (Paeth-predicted deflate) for odd — so
+    ``decode(encode(grid)) == grid`` exactly and downstream stats stay
+    oracle-provable. This is the sandbox stand-in for scanning the stored
+    ``bytes`` column of the Iceberg table."""
+    from rsgislib_spark.kernels import codecs
+
+    imgs = images_df(spark, sf_dir, replicate)
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism * 4
+    imgs = imgs.repartition(n_partitions, "image_key")
+
+    def _enc(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            keys = pdf["image_key"].to_numpy(np.int64)
+            ws = pdf["w"].to_numpy(np.int32)
+            hs = pdf["h"].to_numpy(np.int32)
+            bufs, fmts = [], []
+            order = np.lexsort((keys, hs, ws))
+            out = pdf.iloc[order].reset_index(drop=True)
+            okeys = keys[order]
+            i = 0
+            while i < len(order):
+                w, h = int(ws[order[i]]), int(hs[order[i]])
+                j = i
+                while j < len(order) and ws[order[j]] == w and hs[order[j]] == h:
+                    j += 1
+                for c0 in range(i, j, CHUNK):
+                    grp = okeys[c0 : min(c0 + CHUNK, j)]
+                    xy = (
+                        (np.arange(w, dtype=np.int16) * 13)
+                        + (np.arange(h, dtype=np.int16) * 17)[:, None]
+                    )
+                    k7 = ((grp * 7) % 251).astype(np.int16)
+                    grid = ((k7[:, None, None] + xy) % 251).astype(np.uint8)
+                    for t, kk in enumerate(grp):
+                        fmt = "raw" if kk % 2 == 0 else "png"
+                        bufs.append(codecs.encode_image(grid[t], fmt))
+                        fmts.append(fmt)
+                i = j
+            out["bytes"] = bufs
+            out["fmt"] = fmts
+            yield out[
+                ["image_key", "bytes", "fmt", "w", "h", "minx", "miny", "maxx", "maxy"]
+            ]
+
+    schema = (
+        "image_key long, bytes binary, fmt string, w int, h int, "
+        "minx double, miny double, maxx double, maxy double"
+    )
+    return imgs.mapInPandas(_enc, schema=schema)
+
+
+def _zone_partials_decoded(zindex_b, tile: int, radius: int):
+    """Fused decode → kernels → per-image rollup → STRtree match →
+    per-zone partial agg over BYTES-BEARING rows: the executor reads real
+    pixel payloads exactly as ``RSGISCalcImage::calcImage`` does
+    (src/img/RSGISCalcImage.cpp:149-230 — the reference executor always
+    decodes pixels before the per-pixel callback). Decode is per image
+    (variable-size codec payloads), the stats kernels run on same-shape
+    CHUNK stacks like the synthetic path."""
+    from rsgislib_spark.kernels import codecs
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        zx = zindex_b.value
+        batches = [p for p in it if len(p)]
+        if not batches:
+            return
+        for pdf in [pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]]:
+            ws = pdf["w"].to_numpy(np.int32)
+            hs = pdf["h"].to_numpy(np.int32)
+            bbox = pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(np.float64)
+            bufs = pdf["bytes"]
+            fmts = pdf["fmt"]
+            n = len(pdf)
+            order = np.lexsort((np.arange(n), hs, ws))
+            sum_v = np.empty(n, np.int64)
+            min_v = np.empty(n, np.int64)
+            max_v = np.empty(n, np.int64)
+            focal_sum = np.empty(n, np.int64)
+            focal_cnt = np.empty(n, np.int64)
+            n_tiles = np.empty(n, np.int64)
+            n_px = np.empty(n, np.int64)
+            i = 0
+            while i < n:
+                w, h = int(ws[order[i]]), int(hs[order[i]])
+                j = i
+                while j < n and ws[order[j]] == w and hs[order[j]] == h:
+                    j += 1
+                for c0 in range(i, j, CHUNK):
+                    c1 = min(c0 + CHUNK, j)
+                    stack = np.empty((c1 - c0, h, w), dtype=np.uint8)
+                    for t, oi in enumerate(order[c0:c1]):
+                        stack[t] = codecs.decode_image(
+                            bufs.iloc[oi], fmts.iloc[oi], h, w
+                        )
+                    s, mn, mx, fsum, fcnt = _stats_from_grid(stack, radius)
+                    sum_v[c0:c1] = s
+                    min_v[c0:c1] = mn
+                    max_v[c0:c1] = mx
+                    focal_sum[c0:c1] = fsum
+                    focal_cnt[c0:c1] = fcnt
+                n_tiles[i:j] = -(-w // tile) * -(-h // tile)
+                n_px[i:j] = w * h
+                i = j
+            rects = bbox[order]
+            qi, zi = zx.match(rects, "intersects")
+            if not len(qi):
+                continue
+            m = pd.DataFrame(
+                {
+                    "zone_id": zx.zone_ids[zi],
+                    "n_tiles": n_tiles[qi], "n_px": n_px[qi],
+                    "sum_v": sum_v[qi], "min_v": min_v[qi], "max_v": max_v[qi],
+                    "focal_sum": focal_sum[qi], "focal_cnt": focal_cnt[qi],
+                }
+            )
+            g = m.groupby("zone_id", sort=False)
+            yield g.agg(
+                n_images=("n_px", "size"),
+                n_tiles=("n_tiles", "sum"),
+                n_px=("n_px", "sum"),
+                sum_v=("sum_v", "sum"),
+                min_v=("min_v", "min"),
+                max_v=("max_v", "max"),
+                focal_sum=("focal_sum", "sum"),
+                focal_cnt=("focal_cnt", "sum"),
+            ).reset_index()
+
+    return _run
+
+
+def north_star_decoded(
+    spark: SparkSession,
+    sf_dir: str,
+    n_partitions: int | None = None,
+    replicate: int = 1,
+    tile: int = TILE,
+    images_bytes: DataFrame | None = None,
+) -> DataFrame:
+    """DECODE-INCLUSIVE north star: bytes-bearing rows → codec decode →
+    band/focal kernels → per-image rollup → map-side STRtree zonal match
+    → per-zone stats. Identical result to :func:`north_star` because the
+    raw/png-class codecs are exact, so it shares the q64 oracle math —
+    but the timed path now includes the codec work that dominates a
+    100 TB deployment. Pass ``images_bytes`` (e.g. a parquet scan of a
+    prebuilt bytes table) to exclude encode from the measured window;
+    by default the encode stage feeds the decode stage in-plan (bytes
+    cross the Arrow boundary between the two Python stages — the
+    sandbox stand-in for a storage scan; pixels still never shuffle)."""
+    from rsgislib_spark.operators.spatial_join import ZoneIndex
+
+    if images_bytes is None:
+        images_bytes = encode_images_df(spark, sf_dir, n_partitions, replicate)
+    zindex_b = spark.sparkContext.broadcast(
+        ZoneIndex.from_pandas(load_zones_pdf(sf_dir))
+    )
+    schema = (
+        "zone_id long, n_images long, n_tiles long, n_px long, sum_v long, "
+        "min_v long, max_v long, focal_sum long, focal_cnt long"
+    )
+    partials = images_bytes.select(
+        "bytes", "fmt", "w", "h", "minx", "miny", "maxx", "maxy"
+    ).mapInPandas(_zone_partials_decoded(zindex_b, tile, 1), schema=schema)
+    return partials.groupBy("zone_id").agg(
+        F.sum("n_images").alias("n_images"),
+        F.sum("n_tiles").alias("n_tiles"),
+        F.sum("n_px").alias("n_px"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.round(F.sum("focal_sum") / F.sum("focal_cnt"), 6).alias("mean_focal"),
     )

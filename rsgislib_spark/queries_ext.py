@@ -1029,6 +1029,24 @@ GROUP BY z.zone_id
 """)
 
 
+def q91_north_star_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECODE-INCLUSIVE north star (pipeline.north_star_decoded):
+    bytes-bearing image rows → in-house codec decode (raw/png-class mix)
+    → band/focal kernels → per-image rollup → STRtree zonal match →
+    per-zone stats. The executor reads real pixel payloads exactly as
+    the reference executor does (src/img/RSGISCalcImage.cpp:149-230);
+    the raw/png codecs are exact, so decode(encode(grid)) == grid and
+    the q64 oracle math applies unchanged — this closes the gap between
+    the benched pipeline and the 100 TB claim, where decode dominates."""
+    from rsgislib_spark.pipeline import north_star_decoded
+
+    load_views(spark, sf_dir)
+    return north_star_decoded(spark, sf_dir)
+
+
+ORACLE_Q91 = ORACLE_Q64
+
+
 def q65_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity linear trend fit (timeseries/modelfitting.py:54-264,
     trend component) via groupBy + applyInPandas normal equations.
@@ -2391,6 +2409,7 @@ SELECT query_id, nbr_id, CAST(d2 AS BIGINT) AS d2, CAST(rn AS INT) AS rank FROM 
 
 QUERIES_EXT = {
     "q64_north_star": q64_north_star,
+    "q91_north_star_decoded": q91_north_star_decoded,
     "q74_knn_bucketed": q74_knn_bucketed,
     "q75_reproject_roundtrip": q75_reproject_roundtrip,
     "q76_resample_bilinear": q76_resample_bilinear,
@@ -2538,6 +2557,7 @@ ORACLES_EXT = {
     "q41_ann_lsh": ORACLE_Q41,
     "q42_ann_ivf": ORACLE_Q42,
     "q64_north_star": ORACLE_Q64,
+    "q91_north_star_decoded": ORACLE_Q91,
     "q65_trend_fit": ORACLE_Q65,
     "q68_distance_transform": ORACLE_Q68,
     "q69_coarse_pixel_stats": ORACLE_Q69,

@@ -60,6 +60,7 @@ def main() -> None:
 
     from rsgislib_spark.operators.multimodal import image_features
     from rsgislib_spark.operators.tiler import tile_images
+    from rsgislib_spark.pipeline import north_star_decoded
     from rsgislib_spark.session import get_spark
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
@@ -77,10 +78,24 @@ def main() -> None:
     n_rows = images.count()
     tot_px = images.agg(F.sum(F.col("w").cast("long") * F.col("h"))).first()[0]
 
+    # full flagship over stored bytes: scan → decode → kernels → zonal
+    # rollup (the q91 path) — the measured window excludes encode, like a
+    # production scan of the stored bytes column would
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    imgs_ns = images.select(
+        "bytes", "fmt", "w", "h", "minx", "miny",
+        (F.col("minx") + F.col("w") * 10.0).alias("maxx"),
+        (F.col("miny") + F.col("h") * 10.0).alias("maxy"),
+    )
+
     results = {}
     for name, job in (
         ("image_features", lambda: image_features(images)),
         ("tile_images", lambda: tile_images(images, 64, 64)),
+        (
+            "north_star_decoded",
+            lambda: north_star_decoded(spark, sf_dir, images_bytes=imgs_ns),
+        ),
     ):
         best = None
         for _ in range(2):  # min-of-2 against host noise

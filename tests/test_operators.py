@@ -543,3 +543,41 @@ class TestRound3Fixes:
                 assert np.isnan(got[i])
             else:
                 assert got[i] == pytest.approx(_summarize(v, how)), (how, i)
+
+
+# ------------------------------------------------ decode-inclusive pipeline
+class TestNorthStarDecoded:
+    SF = "/root/testdata/sf0.001"
+
+    def test_encode_stage_roundtrips_exactly(self, spark):
+        """The bytes the encode stage emits must decode back to the exact
+        synthetic grid (raw + png-class are exact codecs), with both
+        formats present — otherwise the 'decode-inclusive' bench would be
+        timing a no-op."""
+        from rsgislib_spark.kernels import bands as BK
+        from rsgislib_spark.pipeline import encode_images_df
+
+        pdf = encode_images_df(spark, self.SF).limit(40).toPandas()
+        assert {"raw", "png"} <= set(pdf["fmt"])
+        for rec in pdf.itertuples(index=False):
+            grid = (
+                BK.synth_band_grid(int(rec.image_key), int(rec.w), int(rec.h), "red")
+                .astype(np.uint8)
+            )
+            got = codecs.decode_image(rec.bytes, rec.fmt, int(rec.h), int(rec.w))
+            np.testing.assert_array_equal(got, grid)
+
+    def test_decoded_equals_synthetic_north_star(self, spark):
+        """north_star_decoded must produce exactly the synthetic
+        north_star result — the codec round-trip is lossless, so any
+        difference is a decode-path bug."""
+        from rsgislib_spark.pipeline import north_star, north_star_decoded
+
+        a = north_star(spark, self.SF).toPandas().sort_values("zone_id").reset_index(drop=True)
+        b = (
+            north_star_decoded(spark, self.SF)
+            .toPandas()
+            .sort_values("zone_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
