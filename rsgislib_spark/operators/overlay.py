@@ -220,3 +220,33 @@ def explode_multi_geoms(
             )
 
     return df.select(id_col, geom_col).mapInPandas(_run, schema=schema)
+
+
+def overlay_identity(
+    images: DataFrame,
+    zones_pdf: pd.DataFrame,
+    id_col: str = "image_id",
+    scale: int = 4,
+) -> DataFrame:
+    """IDENTITY overlay (``vec_lyr`` identity — gp.overlay(how='identity'),
+    vectorgeoms/__init__.py:1295-1349): every piece of each input
+    geometry, tagged with the identity layer's attributes where covered
+    and null where not. Composition of the existing exact kernels:
+    intersection parts (zone_id set, one row per overlapping pair) ∪
+    difference parts (zone_id null, the uncovered rect decomposition).
+    Areas are ×scale² integer-exact on the coordinate lattice, so an
+    area-sum oracle closes over them without float slop."""
+    from pyspark.sql import functions as F
+
+    s2 = scale * scale
+    inter = overlay_intersection(images, zones_pdf, id_col=id_col).select(
+        id_col,
+        "zone_id",
+        F.round(F.col("clip_area") * F.lit(s2)).cast("long").alias("part_area_scaled"),
+    )
+    diff = overlay_difference(images, zones_pdf, id_col=id_col, scale=scale).select(
+        id_col,
+        F.lit(None).cast("long").alias("zone_id"),
+        "part_area_scaled",
+    )
+    return inter.unionByName(diff)

@@ -226,3 +226,54 @@ def spatial_select(
         zones, join_op=join_op, join_how="inner", id_col=id_col,
     ).select(id_col).distinct()
     return images.join(pairs, id_col, "left_semi")
+
+
+# ---------------------------------------------- boolean layer predicates
+
+def layer_predicate(
+    images: DataFrame, zones: DataFrame, join_op: str = "intersects",
+    id_col: str = "image_id",
+) -> bool:
+    """True iff ANY feature of ``images`` <join_op> ANY feature of
+    ``zones`` — the boolean layer predicates ``vec_intersects_vec`` /
+    ``vec_within_vec`` / ``vec_contains_vec``
+    (vectorgeoms/__init__.py:2541-2952). Plan: broadcast-index pair
+    generation + ``isEmpty`` on the pair stream — Spark's collect-limit
+    stops at the first surviving pair, so a hit on an early partition
+    never scans the rest."""
+    spark = images.sparkSession
+    zones_pdf = zones.select("zone_id", "geometry").toPandas()
+    zindex_b = spark.sparkContext.broadcast(ZoneIndex.from_pandas(zones_pdf))
+    return not _pairs_df(images, zindex_b, join_op, id_col).isEmpty()
+
+
+def vec_intersects_vec(images: DataFrame, zones: DataFrame, id_col: str = "image_id") -> bool:
+    """Any image intersects any zone (vectorgeoms/__init__.py:2541-...)."""
+    return layer_predicate(images, zones, "intersects", id_col)
+
+
+def vec_within_vec(images: DataFrame, zones: DataFrame, id_col: str = "image_id") -> bool:
+    """Any image lies within any zone."""
+    return layer_predicate(images, zones, "within", id_col)
+
+
+def vec_contains_vec(images: DataFrame, zones: DataFrame, id_col: str = "image_id") -> bool:
+    """Any image contains any zone."""
+    return layer_predicate(images, zones, "contains", id_col)
+
+
+def vec_overlaps_vec(images: DataFrame, zones: DataFrame, id_col: str = "image_id") -> bool:
+    """Any pair overlaps: intersects but neither side contains the other
+    (DE-9IM overlaps, assuming interiors meet when the closed rects do —
+    exact on the catalog's tie-free lattices, where boundary-only
+    contact cannot occur; touches/crosses remain out of scope for the
+    rectilinear kernels and should use a full geometry library)."""
+    spark = images.sparkSession
+    zones_pdf = zones.select("zone_id", "geometry").toPandas()
+    zindex_b = spark.sparkContext.broadcast(ZoneIndex.from_pandas(zones_pdf))
+    pi = _pairs_df(images, zindex_b, "intersects", id_col)
+    pw = _pairs_df(images, zindex_b, "within", id_col)
+    pc = _pairs_df(images, zindex_b, "contains", id_col)
+    return not pi.join(
+        pw.unionByName(pc).distinct(), [id_col, "zone_id"], "left_anti"
+    ).isEmpty()

@@ -317,6 +317,45 @@ def mode_median_from_histogram(
     )
 
 
+def percentiles_from_histogram(
+    hist: DataFrame,
+    key_cols: list,
+    ps: tuple = (0.25, 0.75),
+    value_col: str = "value",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Exact per-key percentiles from value histograms — the exact
+    analogue of ``populate_rat_with_percentiles`` (binding
+    rastergis.cpp:1767-1791; impl RSGISPopRATWithStats.cpp:473-560,
+    histogram fill :512, percentile from bins :536). The reference uses
+    200 fixed bins (approximate by design); ours is exact because the
+    small-int value domain IS the bin domain.
+
+    Convention: inverted CDF (type-1) — percentile p is the smallest
+    value whose cumulative count reaches ceil(p·n). Integer-exact, so
+    the DuckDB oracle reproduces it bit-for-bit. Returns key_cols +
+    n_px + one p{NN} column per requested percentile."""
+    from pyspark.sql import Window as W
+
+    keys = [F.col(k) for k in key_cols]
+    wcum = W.partitionBy(*keys).orderBy(F.asc(value_col)).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum(cnt_col).over(wcum)).withColumn(
+        "n", F.sum(cnt_col).over(W.partitionBy(*keys))
+    )
+    out = hist.groupBy(*key_cols).agg(F.sum(cnt_col).alias("n_px"))
+    for p in ps:
+        name = f"p{int(round(p * 100)):02d}"
+        sel = (
+            cum.filter(F.col("cum") >= F.ceil(F.lit(float(p)) * F.col("n")))
+            .groupBy(*key_cols)
+            .agg(F.min(value_col).alias(name))
+        )
+        out = out.join(sel, key_cols)
+    return out
+
+
 def zonal_band_mode_median(
     images: DataFrame,
     zones: DataFrame,

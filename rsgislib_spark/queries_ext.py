@@ -363,6 +363,58 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q93_minhash_128perm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH at the PRODUCTION configuration — 128 permutations /
+    16 bands of 8 rows (the classic web-dedup setting; the catalog's
+    q35 uses a 4-perm toy config) — so the scale configuration, not the
+    toy one, is what the driver gates. Same md5-min hash family as q35
+    (oracle recomputes signatures byte-identically); plan shape is
+    unchanged: token explode → 128 min-aggs → 16-band self-join on the
+    band signature, candidates only."""
+    from rsgislib_spark.functions.dedup import minhash_band_pairs
+
+    load_views(spark, sf_dir)
+    pairs = minhash_band_pairs(spark.table("documents"), n_seeds=128, n_bands=16)
+    return pairs.groupBy().agg(F.count("*").alias("n_candidate_pairs")).crossJoin(
+        pairs.groupBy("id_a").agg(F.count("*").alias("c")).agg(
+            F.count("*").alias("n_docs_with_candidates")
+        )
+    )
+
+
+def _build_oracle_q93(n_seeds: int = 128, n_bands: int = 16) -> str:
+    rows = n_seeds // n_bands
+    sig_cols = ",\n         ".join(
+        f"MIN(md5(token || '#seed{s}')) AS mh_{s}" for s in range(n_seeds)
+    )
+    band_sel = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, {cat} AS sig FROM sig".format(
+            b=b, cat=" || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM toks GROUP BY doc_id
+), bands AS (
+{band_sel}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT (SELECT COUNT(*) FROM pairs) AS n_candidate_pairs,
+       (SELECT COUNT(DISTINCT id_a) FROM pairs) AS n_docs_with_candidates
+"""
+
+
+ORACLE_Q93 = _build_oracle_q93()
+
+
 # ------------------------------------------------------------- sampling
 
 def q43_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1625,6 +1677,87 @@ FROM geo_images i LEFT JOIN cov c USING (image_key)
 """)
 
 
+def q94_overlay_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY overlay (vectorgeoms/__init__.py:1295-1349,
+    gp.overlay(how='identity')): per image, its pieces tagged by the
+    covering zone (one part per overlapping pair) plus the uncovered
+    remainder (null zone). Exact ×16 lattice areas; the oracle
+    recomputes pair areas as clipped rects and the uncovered area with
+    the q77 strip-sweep — covered + free must agree to the integer."""
+    from rsgislib_spark.operators.overlay import overlay_identity
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark)
+    zones_pdf = _zones_with_wkb(spark)
+    parts = overlay_identity(
+        gi.select(F.col("image_key").alias("image_id"), "minx", "miny", "maxx", "maxy"),
+        zones_pdf,
+        id_col="image_id",
+        scale=4,
+    )
+    return (
+        parts.groupBy(F.col("image_id").alias("image_key"))
+        .agg(
+            F.count(F.col("zone_id")).alias("n_zone_parts"),
+            F.coalesce(
+                F.sum(F.when(F.col("zone_id").isNotNull(), F.col("part_area_scaled"))),
+                F.lit(0),
+            ).cast("long").alias("zone_area16"),
+            F.coalesce(
+                F.sum(F.when(F.col("zone_id").isNull(), F.col("part_area_scaled"))),
+                F.lit(0),
+            ).cast("long").alias("free_area16"),
+        )
+    )
+
+
+ORACLE_Q94 = _cte("""
+, cand AS (
+  SELECT i.image_key,
+         GREATEST(CAST(z.minx * 4 AS BIGINT), CAST(i.minx * 4 AS BIGINT)) AS zx0,
+         GREATEST(CAST(z.miny * 4 AS BIGINT), CAST(i.miny * 4 AS BIGINT)) AS zy0,
+         LEAST(CAST(z.maxx * 4 AS BIGINT), CAST(i.maxx * 4 AS BIGINT)) AS zx1,
+         LEAST(CAST(z.maxy * 4 AS BIGINT), CAST(i.maxy * 4 AS BIGINT)) AS zy1
+  FROM geo_images i JOIN geo_zones z
+    ON z.minx < i.maxx AND z.maxx > i.minx AND z.miny < i.maxy AND z.maxy > i.miny
+), pairs AS (
+  SELECT image_key, COUNT(*) AS n_zone_parts,
+         CAST(SUM((zx1 - zx0) * (zy1 - zy0)) AS BIGINT) AS zone_area16
+  FROM cand GROUP BY image_key
+), xs AS (
+  SELECT DISTINCT image_key, zx0 AS x FROM cand
+  UNION SELECT DISTINCT image_key, zx1 FROM cand
+), strips AS (
+  SELECT image_key, x AS sx0,
+         LEAD(x) OVER (PARTITION BY image_key ORDER BY x) AS sx1
+  FROM xs
+), iv AS (
+  SELECT c.image_key, s.sx0, s.sx1, c.zy0, c.zy1
+  FROM (SELECT * FROM strips WHERE sx1 IS NOT NULL) s
+  JOIN cand c ON c.image_key = s.image_key AND c.zx0 <= s.sx0 AND c.zx1 >= s.sx1
+), seg AS (
+  SELECT image_key, sx0, sx1, zy0, zy1,
+         MAX(zy1) OVER (PARTITION BY image_key, sx0 ORDER BY zy0, zy1
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+  FROM iv
+), cov AS (
+  SELECT image_key,
+         CAST(SUM((sx1 - sx0) *
+              CASE WHEN pmax IS NULL OR pmax < zy0 THEN zy1 - zy0
+                   WHEN pmax < zy1 THEN zy1 - pmax
+                   ELSE 0 END) AS BIGINT) AS covered16
+  FROM seg GROUP BY image_key
+)
+SELECT i.image_key,
+       CAST(COALESCE(p.n_zone_parts, 0) AS BIGINT) AS n_zone_parts,
+       CAST(COALESCE(p.zone_area16, 0) AS BIGINT) AS zone_area16,
+       CAST((CAST(i.maxx * 4 AS BIGINT) - CAST(i.minx * 4 AS BIGINT))
+            * (CAST(i.maxy * 4 AS BIGINT) - CAST(i.miny * 4 AS BIGINT))
+            - COALESCE(c.covered16, 0) AS BIGINT) AS free_area16
+FROM geo_images i LEFT JOIN pairs p USING (image_key) LEFT JOIN cov c USING (image_key)
+""")
+
+
 def q78_overlay_symdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric-difference overlay per intersecting pair
     (vectorgeoms/__init__.py:1241-1294): |A△B| = |A| + |B| − 2|A∩B|,
@@ -1804,15 +1937,11 @@ UNION ALL SELECT 3, ROUND(l3, 2), ROUND(l3, 2) FROM lam
 """)
 
 
-def q81_zonal_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-polygon MODE + MEDIAN zonal stats (calc_zonal_band_stats
-    mode/median columns, zonalstats/__init__.py:449-476) via exact
-    per-zone value histograms: pixel centres inside the zone rect, synth
-    red band, histogram partials (≤256 rows/zone shuffle), finalized by
-    the shared cumulative-histogram mode/median (operators/zonal.py)."""
-    from rsgislib_spark.operators.zonal import mode_median_from_histogram
-
-    load_views(spark, sf_dir)
+def _zone_value_hist_df(spark: SparkSession) -> DataFrame:
+    """Shared per-(zone, pixel value) histogram over the synth red band
+    (pixel-centre inclusion) — partials are ≤256 rows per zone per task,
+    so the shuffle is O(zones·256) regardless of pixel count. Feeds both
+    the mode/median (q81) and percentile (q92) finalizers."""
     gi = _px_images(spark).select("image_key", "minx", "maxy", "w", "h")
     zones = _geo_zones(spark).select("zone_id", "minx", "miny", "maxx", "maxy").collect()
     zarr = np.array([[z["zone_id"], z["minx"], z["miny"], z["maxx"], z["maxy"]] for z in zones])
@@ -1853,8 +1982,36 @@ def q81_zonal_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["zone_id", "value", "cnt"])
 
     partial = gi.mapInPandas(_hist, schema="zone_id long, value int, cnt long")
-    hist = partial.groupBy("zone_id", "value").agg(F.sum("cnt").alias("cnt"))
-    return mode_median_from_histogram(hist, ["zone_id"])
+    return partial.groupBy("zone_id", "value").agg(F.sum("cnt").alias("cnt"))
+
+
+def q81_zonal_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon MODE + MEDIAN zonal stats (calc_zonal_band_stats
+    mode/median columns, zonalstats/__init__.py:449-476) via exact
+    per-zone value histograms: pixel centres inside the zone rect, synth
+    red band, histogram partials (≤256 rows/zone shuffle), finalized by
+    the shared cumulative-histogram mode/median (operators/zonal.py)."""
+    from rsgislib_spark.operators.zonal import mode_median_from_histogram
+
+    load_views(spark, sf_dir)
+    return mode_median_from_histogram(_zone_value_hist_df(spark), ["zone_id"])
+
+
+def q92_zonal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-polygon PERCENTILES (p25/p50/p75) from the same exact per-zone
+    value histograms — ``populate_rat_with_percentiles``
+    (rastergis.cpp:1767-1791; impl RSGISPopRATWithStats.cpp:473-560:
+    histogram fill :512, percentile from bins :536; golden values
+    python_tests/test_zonalstats.py:108-1056). The reference
+    approximates with 200 fixed bins; ours is exact because the 8-bit
+    value domain IS the bin domain. Inverted-CDF convention: smallest
+    value whose cumulative count reaches ceil(p·n)."""
+    from rsgislib_spark.operators.zonal import percentiles_from_histogram
+
+    load_views(spark, sf_dir)
+    return percentiles_from_histogram(
+        _zone_value_hist_df(spark), ["zone_id"], ps=(0.25, 0.50, 0.75)
+    )
 
 
 ORACLE_Q81 = _cte(f"""
@@ -1890,6 +2047,39 @@ ORACLE_Q81 = _cte(f"""
 SELECT t.zone_id, t.n_px, CAST(md.mode AS INT) AS mode,
        ROUND((lo.vlo + hi.vhi) / 2.0, 1) AS median
 FROM tot t JOIN md USING (zone_id) JOIN lo USING (zone_id) JOIN hi USING (zone_id)
+""")
+
+
+ORACLE_Q92 = _cte(f"""
+, px AS (
+  SELECT z.zone_id, (g.image_key * 7 + gx.px * 13 + gy.py * 17) % 251 AS v
+  FROM geo_images g
+  JOIN geo_zones z
+    ON z.minx < g.maxx AND z.maxx > g.minx AND z.miny < g.maxy AND z.maxy > g.miny,
+  LATERAL (SELECT unnest(generate_series(0, g.w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, g.h - 1)) AS py) gy
+  WHERE g.image_key % {PX_SUBSET} = 0
+    AND g.minx + (gx.px + 0.5) * 10 >= z.minx AND g.minx + (gx.px + 0.5) * 10 <= z.maxx
+    AND g.maxy - (gy.py + 0.5) * 10 >= z.miny AND g.maxy - (gy.py + 0.5) * 10 <= z.maxy
+), hist AS (
+  SELECT zone_id, v, COUNT(*) AS cnt FROM px GROUP BY 1, 2
+), tot AS (
+  SELECT zone_id, CAST(SUM(cnt) AS BIGINT) AS n_px FROM hist GROUP BY 1
+), cum AS (
+  SELECT zone_id, v, cnt, SUM(cnt) OVER (PARTITION BY zone_id ORDER BY v) AS cum
+  FROM hist
+), q25 AS (
+  SELECT c.zone_id, CAST(MIN(c.v) AS INT) AS p25
+  FROM cum c JOIN tot t USING (zone_id) WHERE c.cum >= CEIL(0.25 * t.n_px) GROUP BY 1
+), q50 AS (
+  SELECT c.zone_id, CAST(MIN(c.v) AS INT) AS p50
+  FROM cum c JOIN tot t USING (zone_id) WHERE c.cum >= CEIL(0.5 * t.n_px) GROUP BY 1
+), q75 AS (
+  SELECT c.zone_id, CAST(MIN(c.v) AS INT) AS p75
+  FROM cum c JOIN tot t USING (zone_id) WHERE c.cum >= CEIL(0.75 * t.n_px) GROUP BY 1
+)
+SELECT t.zone_id, t.n_px, q25.p25, q50.p50, q75.p75
+FROM tot t JOIN q25 USING (zone_id) JOIN q50 USING (zone_id) JOIN q75 USING (zone_id)
 """)
 
 
@@ -2418,6 +2608,8 @@ QUERIES_EXT = {
     "q79_kmeans": q79_kmeans,
     "q80_pca_eigen": q80_pca_eigen,
     "q81_zonal_mode_median": q81_zonal_mode_median,
+    "q92_zonal_percentiles": q92_zonal_percentiles,
+    "q94_overlay_identity": q94_overlay_identity,
     "q82_hillshade": q82_hillshade,
     "q83_neigh_diff_stats": q83_neigh_diff_stats,
     "q84_border_length": q84_border_length,
@@ -2449,6 +2641,7 @@ QUERIES_EXT = {
     "q28_stratum_location_extent": q28_stratum_location_extent,
     "q29_rollup_orders": q29_rollup_orders,
     "q38_embed_near_dup": q38_embed_near_dup,
+    "q93_minhash_128perm": q93_minhash_128perm,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -2543,6 +2736,8 @@ ORACLES_EXT = {
     "q79_kmeans": ORACLE_Q79,
     "q80_pca_eigen": ORACLE_Q80,
     "q81_zonal_mode_median": ORACLE_Q81,
+    "q92_zonal_percentiles": ORACLE_Q92,
+    "q94_overlay_identity": ORACLE_Q94,
     "q82_hillshade": ORACLE_Q82,
     "q83_neigh_diff_stats": ORACLE_Q83,
     "q84_border_length": ORACLE_Q84,
@@ -2578,6 +2773,7 @@ ORACLES_EXT = {
     "q28_stratum_location_extent": ORACLE_Q28,
     "q29_rollup_orders": ORACLE_Q29,
     "q38_embed_near_dup": ORACLE_Q38,
+    "q93_minhash_128perm": ORACLE_Q93,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,

@@ -123,3 +123,85 @@ def test_zone_index_pickles(zones_pdf):
     b = zx2.match(rects, "intersects")
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[1], b[1])
+
+
+class TestLayerPredicates:
+    """Boolean layer predicates (vec_intersects_vec family,
+    vectorgeoms/__init__.py:2541-2952): ANY-pair semantics, both truthy
+    and falsy cases, on hand-built rect layers."""
+
+    def _mk(self, spark, rects, id0=0):
+        rows = []
+        for i, (x0, y0, x1, y1) in enumerate(rects):
+            rows.append((id0 + i, float(x0), float(y0), float(x1), float(y1)))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["image_id", "minx", "miny", "maxx", "maxy"])
+        )
+
+    def _zones(self, spark, rects, id0=100):
+        rows = []
+        for i, (x0, y0, x1, y1) in enumerate(rects):
+            wkb = geom.polygon_to_wkb(
+                [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=float)]
+            )
+            rows.append((id0 + i, wkb))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["zone_id", "geometry"])
+        )
+
+    def test_predicates_truth_table(self, spark):
+        from rsgislib_spark.operators.spatial_join import (
+            vec_contains_vec,
+            vec_intersects_vec,
+            vec_overlaps_vec,
+            vec_within_vec,
+        )
+
+        zones = self._zones(spark, [(10.0, 10.0, 20.0, 20.0)])
+        inside = self._mk(spark, [(12.0, 12.0, 18.0, 18.0)])
+        straddle = self._mk(spark, [(15.0, 15.0, 25.0, 25.0)])
+        outside = self._mk(spark, [(30.0, 30.0, 40.0, 40.0)])
+        covering = self._mk(spark, [(0.0, 0.0, 50.0, 50.0)])
+
+        assert vec_intersects_vec(inside, zones)
+        assert vec_intersects_vec(straddle, zones)
+        assert not vec_intersects_vec(outside, zones)
+
+        assert vec_within_vec(inside, zones)
+        assert not vec_within_vec(straddle, zones)
+        assert not vec_within_vec(outside, zones)
+
+        assert vec_contains_vec(covering, zones)
+        assert not vec_contains_vec(inside, zones)
+
+        assert vec_overlaps_vec(straddle, zones)
+        assert not vec_overlaps_vec(inside, zones)  # within, not overlaps
+        assert not vec_overlaps_vec(covering, zones)  # contains, not overlaps
+        assert not vec_overlaps_vec(outside, zones)
+
+    def test_identity_parts_cover_image_exactly(self, spark):
+        """For NON-overlapping zones, identity parts partition each
+        image: zone-tagged + free areas sum to the image area."""
+        from rsgislib_spark.operators.overlay import overlay_identity
+
+        zones_pdf = pd.DataFrame(
+            {
+                "zone_id": [1, 2],
+                "geometry": [
+                    geom.polygon_to_wkb(
+                        [np.array([[0.25, 0.25], [10.25, 0.25], [10.25, 10.25], [0.25, 10.25]])]
+                    ),
+                    geom.polygon_to_wkb(
+                        [np.array([[20.25, 0.25], [30.25, 0.25], [30.25, 10.25], [20.25, 10.25]])]
+                    ),
+                ],
+            }
+        )
+        imgs = self._mk(spark, [(5.0, 5.0, 25.0, 8.0), (100.0, 100.0, 110.0, 110.0)])
+        parts = overlay_identity(imgs, zones_pdf, scale=4).toPandas()
+        tot = parts.groupby("image_id")["part_area_scaled"].sum()
+        assert tot[0] == int((25 - 5) * (8 - 5) * 16)
+        assert tot[1] == int(10 * 10 * 16)
+        sub = parts[parts.image_id == 0]
+        assert set(sub["zone_id"].dropna().astype(int)) == {1, 2}
+        assert (sub["zone_id"].isna()).sum() >= 1  # the gap between zones
