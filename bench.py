@@ -35,6 +35,7 @@ HEADLINE = [
     "q40_ann_cosine_topk",
     "q55_salted_cell_join",
     "q64_north_star",
+    "q91_north_star_decoded",
 ]
 
 

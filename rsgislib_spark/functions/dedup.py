@@ -103,6 +103,105 @@ def minhash_band_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list —
+    the group-assignment stage of a dedup pipeline (candidate pairs →
+    duplicate GROUPS → canonical doc per group). The reference reaches
+    the same result single-node via union-find inside clumping
+    (segmentation/RSGISClumpPnts; our raster analogue is
+    operators/clump.py) — here it is min-label propagation with pointer
+    jumping, each round two equi-joins + one agg, so every step is a
+    plain shuffle Catalyst can plan and AQE can re-balance:
+
+      1. neighbour step: label[u] <- min(label[u], min over (u,v) edges
+         of label[v]);
+      2. pointer jump:   label[u] <- label[label[u]] (labels are always
+         node ids, so the label table joins itself) — collapses chains
+         in O(log diameter) rounds instead of O(diameter).
+
+    Lineage is truncated per round with localCheckpoint (an iterative
+    loop would otherwise stack 25 shuffles in one plan), and convergence
+    is detected by the per-round SUM(label): labels only ever decrease,
+    so the sum is strictly decreasing until the fixed point — one cheap
+    scalar agg per round instead of a self-join diff.
+
+    Returns (node, label) with label = MIN node id of the component —
+    deterministic, so the label doubles as the canonical member id.
+    Nodes with no edges are absent (singletons are not duplicate
+    groups); left-join the output to keep them.
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    sym = (
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    if prev_sum is None:  # empty edge list
+        return labels
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = labels.join(nmin, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        parents = stepped.select(
+            F.col("node").alias("label"), F.col("label").alias("parent_label")
+        )
+        labels = (
+            stepped.join(parents, "label", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("parent_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "raise max_iter (pointer jumping needs ~log2(diameter) rounds)"
+    )
+
+
+def dedup_groups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_seeds: int = DEFAULT_SEEDS,
+    n_bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """End-to-end near-dup GROUP assignment: MinHash+LSH candidate pairs
+    → connected components. Returns (node, label): every doc that has at
+    least one candidate near-dup, labelled by the min doc id of its
+    duplicate group (the canonical survivor under keep-first policy)."""
+    pairs = minhash_band_pairs(df, id_col, text_col, n_seeds, n_bands)
+    return connected_components(pairs, "id_a", "id_b")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.6,

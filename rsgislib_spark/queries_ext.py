@@ -415,6 +415,63 @@ SELECT (SELECT COUNT(*) FROM pairs) AS n_candidate_pairs,
 ORACLE_Q93 = _build_oracle_q93()
 
 
+def q95_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP assignment — the stage after candidate generation
+    that every real dedup pipeline needs (verified pairs → duplicate
+    groups → canonical doc): exact token-Jaccard >= 0.8 pairs (the q36
+    edge set; in production the LSH candidates feed the same verify) →
+    distributed connected components (min-label propagation + pointer
+    jumping, functions/dedup.py — the edge-list analogue of the
+    reference's union-find clumping, segmentation/RSGISClumpPnts).
+    Output: one row per duplicate group, group_id = min doc id (the
+    keep-first canonical), n_docs = group size. Oracle: DuckDB
+    recursive-CTE transitive closure over the same pairs. At sf0.01 the
+    synthetic docs give 10 groups (one 342-doc template cluster + nine
+    genuine dup pairs), so the gate discriminates group structure, not
+    just pair counts."""
+    from rsgislib_spark.functions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    load_views(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(spark.table("documents"), threshold=0.8)
+    labels = connected_components(pairs, "id_a", "id_b")
+    return labels.groupBy(F.col("label").alias("group_id")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+ORACLE_Q95 = """
+WITH RECURSIVE toks AS (
+  SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+             JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter), 6) >= 0.8
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), lab AS (
+  SELECT u AS node, LEAST(u, MIN(v)) AS group_id FROM reach GROUP BY u
+)
+SELECT CAST(group_id AS BIGINT) AS group_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM lab GROUP BY group_id
+"""
+
+
 # ------------------------------------------------------------- sampling
 
 def q43_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2642,6 +2699,7 @@ QUERIES_EXT = {
     "q29_rollup_orders": q29_rollup_orders,
     "q38_embed_near_dup": q38_embed_near_dup,
     "q93_minhash_128perm": q93_minhash_128perm,
+    "q95_dedup_groups": q95_dedup_groups,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -2774,6 +2832,7 @@ ORACLES_EXT = {
     "q29_rollup_orders": ORACLE_Q29,
     "q38_embed_near_dup": ORACLE_Q38,
     "q93_minhash_128perm": ORACLE_Q93,
+    "q95_dedup_groups": ORACLE_Q95,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,

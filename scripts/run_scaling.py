@@ -18,7 +18,8 @@ Protocol (documented in BENCH/BASELINE.md):
    cores): measured straggler wave-tail skew is the
    largest remaining loss at 32 cores, and finer tasks smooth it.
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/last_scaling_run.md (raw, merged into the curated
+BENCH/BASELINE.md by hand) and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -92,9 +93,13 @@ def main() -> None:
         "local8": {"wall_s": round(lo["wall_s"], 3), "images_per_sec": round(thr_lo, 1)},
         "local32": {"wall_s": round(hi["wall_s"], 3), "images_per_sec": round(thr_hi, 1)},
     }
+    # BENCH/BASELINE.md is the CURATED cross-session record (decode
+    # benches, multi-JVM emulation, noise protocol) — a raw run must not
+    # clobber it, so each run writes its own timestamp-free report here
+    # and the curated file is merged by hand from it.
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured numbers
+    with open(os.path.join(REPO, "BENCH", "last_scaling_run.md"), "w") as f:
+        f.write(f"""# Last raw scaling run (merge into BENCH/BASELINE.md by hand)
 
 North-star pipeline (`rsgislib_spark.pipeline.north_star`): footprint
 derivation → fused tiler + band/focal kernels + per-image rollup →

@@ -122,3 +122,34 @@ def test_cosine_block_pairs_raises_above_ceiling(spark):
     # under the ceiling it still runs
     out = cosine_block_pairs(emb, threshold=0.999, max_broadcast_rows=100).toPandas()
     assert {"id_a", "id_b", "cos"} == set(out.columns)
+
+
+class TestConnectedComponents:
+    """Distributed CC (min-label propagation + pointer jumping) on
+    hand-built edge lists — the dedup group-assignment stage."""
+
+    def _cc(self, spark, edges):
+        from rsgislib_spark.functions.dedup import connected_components
+
+        pdf = pd.DataFrame(edges, columns=["id_a", "id_b"])
+        out = connected_components(spark.createDataFrame(pdf)).toPandas()
+        return dict(zip(out["node"].astype(int), out["label"].astype(int)))
+
+    def test_two_components_and_chain(self, spark):
+        # chain 1-2-3-4 (diameter 3, exercises pointer jumping) + pair 10-11
+        lab = self._cc(spark, [(1, 2), (2, 3), (3, 4), (10, 11)])
+        assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_edge_order_and_direction_irrelevant(self, spark):
+        lab = self._cc(spark, [(4, 3), (11, 10), (2, 1), (3, 2)])
+        assert lab == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_long_chain_converges(self, spark):
+        # 30-node path: naive propagation needs 29 rounds; pointer
+        # jumping must converge well under the 25-round cap
+        lab = self._cc(spark, [(i, i + 1) for i in range(30)])
+        assert set(lab.values()) == {0} and len(lab) == 31
+
+    def test_star_and_triangle(self, spark):
+        lab = self._cc(spark, [(5, 1), (5, 2), (5, 3), (7, 8), (8, 9), (9, 7)])
+        assert lab == {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 8: 7, 9: 7}
