@@ -682,6 +682,108 @@ SELECT event_id, user_id, COALESCE(last_click_id, -1) AS last_click_id FROM (
 """
 
 
+def q96_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join via time-bucket blocking
+    (operators/temporal.range_join_bucketed): per user, every click/view
+    landing inside a purchase's attribution window [ts, ts + (1..48) h].
+    A naive range join plans as BroadcastNestedLoopJoin; the bucketed
+    path is a plain (user, bucket) equi-join + exact containment filter
+    — exact because an interval containing t also covers t's bucket.
+    Epoch-microsecond arithmetic: any engine-level timestamp offset
+    shifts points and interval bounds equally, so containment (and the
+    output, which has no timestamps) is shift-invariant."""
+    from rsgislib_spark.operators.temporal import range_join_bucketed
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    hours = (F.col("event_id") % 48 + 1).cast("long")
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + hours * F.lit(3600000000)).alias("end_us"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    pt = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"), F.col("event_id").alias("point_id")
+    )
+    joined = range_join_bucketed(
+        pt, iv, "t_us", "start_us", "end_us", by=["user_id"],
+        bucket=48 * 3600 * 1_000_000,
+    )
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("point_id").alias("n_points"),
+        F.countDistinct("purchase_id").alias("n_windows"),
+    )
+
+
+ORACLE_Q96 = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + (event_id % 48 + 1) * 3600000000 AS end_us,
+         event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+), pt AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id AS point_id
+  FROM events WHERE event_type IN ('click', 'view')
+)
+SELECT pt.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT pt.point_id) AS BIGINT) AS n_points,
+       CAST(COUNT(DISTINCT iv.purchase_id) AS BIGINT) AS n_windows
+FROM pt JOIN iv ON pt.user_id = iv.user_id
+              AND pt.t_us BETWEEN iv.start_us AND iv.end_us
+GROUP BY pt.user_id
+"""
+
+
+def q97_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (functions/packing.pack_sequences): pack
+    each source's documents, in doc_id order, into 512-token training
+    sequences by next-fit (fits → same bin, else new bin; oversize doc
+    gets its own bin). Per-source stats close over the whole greedy
+    state chain, so the oracle (a DuckDB recursive CTE replaying the
+    identical scan) discriminates every step."""
+    from rsgislib_spark.functions.packing import pack_sequences
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).cast("long").alias("n_tok"),
+    )
+    packed = pack_sequences(docs, "source", "doc_id", "n_tok", capacity=512)
+    return packed.groupBy("source").agg(
+        (F.max("bin") + 1).alias("n_bins"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+        F.max("fill").alias("max_fill"),
+    )
+
+
+ORACLE_Q97 = """
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), pack(source, rn, n_tok, bin, fill) AS (
+  SELECT source, rn, n_tok, CAST(0 AS BIGINT), n_tok FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.n_tok,
+         CASE WHEN p.fill + d.n_tok <= 512 THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + d.n_tok <= 512 THEN p.fill + d.n_tok ELSE d.n_tok END
+  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(fill) AS BIGINT) AS max_fill
+FROM pack GROUP BY source
+"""
+
+
 # ------------------------------------------------------------- covariance
 
 def q52_feature_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2700,6 +2802,8 @@ QUERIES_EXT = {
     "q38_embed_near_dup": q38_embed_near_dup,
     "q93_minhash_128perm": q93_minhash_128perm,
     "q95_dedup_groups": q95_dedup_groups,
+    "q96_range_join": q96_range_join,
+    "q97_sequence_packing": q97_sequence_packing,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -2833,6 +2937,8 @@ ORACLES_EXT = {
     "q38_embed_near_dup": ORACLE_Q38,
     "q93_minhash_128perm": ORACLE_Q93,
     "q95_dedup_groups": ORACLE_Q95,
+    "q96_range_join": ORACLE_Q96,
+    "q97_sequence_packing": ORACLE_Q97,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,
