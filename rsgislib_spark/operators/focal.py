@@ -94,3 +94,65 @@ def focal_stats_tiled(
 def focal_grid(arr: np.ndarray, stat: str, radius: int = 1) -> np.ndarray:
     """Whole-array focal filter (library entry for small rasters/tests)."""
     return KERNELS[stat](arr, radius)
+
+
+def edge_filters_tiled(
+    images: DataFrame,
+    tile: int = 128,
+    band: str = "red",
+) -> DataFrame:
+    """Sobel + Prewitt gradient pairs and 4-neighbour Laplacian per
+    image, reduced to integer |gradient| sums (apply_sobel_filter /
+    apply_prewitt_filter / the gaussian-2nd-deriv discrete base,
+    python/rsgislib/imagefilter/__init__.py:37-980).
+
+    Same halo-tile skeleton as :func:`focal_stats_tiled` with
+    ``overlap = 1`` (the 3×3 kernels' radius). Edge-pad exactness under
+    tiling: interior crop pixels take every neighbour from the real
+    halo; a crop pixel on the IMAGE boundary sits on its tile's clipped
+    boundary too, so the kernels' edge replication reproduces
+    whole-image edge padding exactly — the tiled result equals the
+    whole-array filter bit-for-bit (tests assert this).
+
+    Returns (image_key, n_px, sum_abs_gx_sobel, sum_abs_gy_sobel,
+    sum_abs_gx_prewitt, sum_abs_gy_prewitt, sum_abs_laplacian) — all
+    integer-exact on integer rasters, hence SQL-oracle comparable.
+    """
+    from rsgislib_spark.kernels import bands as BK
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for rec in pdf.itertuples(index=False):
+                w, h = int(rec.w), int(rec.h)
+                grid = BK.synth_band_grid(int(rec.image_key), w, h, band)
+                acc = [0, 0, 0, 0, 0]
+                for tx, ty, x0, y0, tw, th, ax0, ay0, aw, ah in (
+                    tile_windows_overlap_anchored(w, h, tile, tile, overlap=1)
+                ):
+                    sub = grid[y0 : y0 + th, x0 : x0 + tw]
+                    iy0 = ay0 - y0
+                    ix0 = ax0 - x0
+                    crop = (slice(iy0, iy0 + ah), slice(ix0, ix0 + aw))
+                    gxs, gys = FK.sobel(sub)
+                    gxp, gyp = FK.prewitt(sub)
+                    lap = FK.laplacian(sub)
+                    for j, g in enumerate((gxs, gys, gxp, gyp, lap)):
+                        acc[j] += int(np.abs(g[crop]).sum())
+                outs.append((int(rec.image_key), w * h, *acc))
+            yield pd.DataFrame(
+                outs,
+                columns=[
+                    "image_key", "n_px", "sum_abs_gx_sobel", "sum_abs_gy_sobel",
+                    "sum_abs_gx_prewitt", "sum_abs_gy_prewitt", "sum_abs_laplacian",
+                ],
+            )
+
+    return images.select("image_key", "w", "h").mapInPandas(
+        _run,
+        schema=(
+            "image_key long, n_px long, sum_abs_gx_sobel long, "
+            "sum_abs_gy_sobel long, sum_abs_gx_prewitt long, "
+            "sum_abs_gy_prewitt long, sum_abs_laplacian long"
+        ),
+    )

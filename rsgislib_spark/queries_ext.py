@@ -205,6 +205,84 @@ FROM nbr GROUP BY image_key
 """)
 
 
+def q98_edge_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sobel/Prewitt gradient pairs + 4-neighbour Laplacian
+    (apply_sobel_filter / apply_prewitt_filter,
+    imagefilter/__init__.py:37-980) via the halo-tile operator, reduced
+    to per-image integer |gradient| sums. Oracle replays the clamped
+    (edge-padded) 3×3 stencils relationally: a 9-row offset table
+    carries the sobel/prewitt/laplacian weights, neighbour coordinates
+    clamp with LEAST/GREATEST, per-pixel gradients group-sum, then the
+    image rollup takes ABS sums — all integer arithmetic."""
+    from rsgislib_spark.operators.focal import edge_filters_tiled
+
+    load_views(spark, sf_dir)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0))
+    return edge_filters_tiled(gi, tile=128)
+
+
+ORACLE_Q98 = _cte(f""",
+px_small AS (
+  SELECT image_key, w, h, gx.px AS px, gy.py AS py
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+), offs AS (
+  SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
+), nbr AS (
+  SELECT p.image_key, p.px, p.py,
+         (p.image_key * 7 + LEAST(GREATEST(p.px + o.dx, 0), p.w - 1) * 13
+          + LEAST(GREATEST(p.py + o.dy, 0), p.h - 1) * 17) % 251 AS v,
+         o.dx * (2 - ABS(o.dy)) AS wsx,
+         o.dy * (2 - ABS(o.dx)) AS wsy,
+         o.dx AS wpx, o.dy AS wpy,
+         CASE ABS(o.dx) + ABS(o.dy) WHEN 0 THEN -4 WHEN 1 THEN 1 ELSE 0 END AS wl
+  FROM px_small p CROSS JOIN offs o
+), grads AS (
+  SELECT image_key, px, py,
+         SUM(v * wsx) AS gxs, SUM(v * wsy) AS gys,
+         SUM(v * wpx) AS gxp, SUM(v * wpy) AS gyp,
+         SUM(v * wl) AS lap
+  FROM nbr GROUP BY image_key, px, py
+)
+SELECT image_key, COUNT(*) AS n_px,
+       CAST(SUM(ABS(gxs)) AS BIGINT) AS sum_abs_gx_sobel,
+       CAST(SUM(ABS(gys)) AS BIGINT) AS sum_abs_gy_sobel,
+       CAST(SUM(ABS(gxp)) AS BIGINT) AS sum_abs_gx_prewitt,
+       CAST(SUM(ABS(gyp)) AS BIGINT) AS sum_abs_gy_prewitt,
+       CAST(SUM(ABS(lap)) AS BIGINT) AS sum_abs_laplacian
+FROM grads GROUP BY image_key
+""")
+
+
+def q99_spatial_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join layer select (spatial_select,
+    vectorutils/__init__.py:2565-2610): images whose footprint
+    intersects ANY zone, image columns only, each image once. Plan:
+    broadcast-STRtree pair generation → distinct ids → left_semi."""
+    from rsgislib_spark.operators.spatial_join import spatial_select
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark).withColumnRenamed("image_key", "image_id")
+    zones = spark.createDataFrame(_zones_with_wkb(spark))
+    out = spatial_select(gi, zones, join_op="intersects", id_col="image_id")
+    return out.select(
+        F.col("image_id").alias("image_key"), "minx", "miny", "maxx", "maxy"
+    )
+
+
+ORACLE_Q99 = _cte("""
+SELECT i.image_key, i.minx, i.miny, i.maxx, i.maxy
+FROM geo_images i
+WHERE EXISTS (
+  SELECT 1 FROM geo_zones z
+  WHERE i.minx <= z.maxx AND i.maxx >= z.minx
+    AND i.miny <= z.maxy AND i.maxy >= z.miny
+)
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -2804,6 +2882,8 @@ QUERIES_EXT = {
     "q95_dedup_groups": q95_dedup_groups,
     "q96_range_join": q96_range_join,
     "q97_sequence_packing": q97_sequence_packing,
+    "q98_edge_filters": q98_edge_filters,
+    "q99_spatial_select": q99_spatial_select,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -2939,6 +3019,8 @@ ORACLES_EXT = {
     "q95_dedup_groups": ORACLE_Q95,
     "q96_range_join": ORACLE_Q96,
     "q97_sequence_packing": ORACLE_Q97,
+    "q98_edge_filters": ORACLE_Q98,
+    "q99_spatial_select": ORACLE_Q99,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,
