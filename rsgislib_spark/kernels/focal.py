@@ -97,6 +97,89 @@ def focal_median(arr: np.ndarray, radius: int = 1) -> np.ndarray:
     return np.nanmedian(w.reshape(arr.shape[0], arr.shape[1], k * k), axis=2)
 
 
+def focal_total(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """Total (window-sum) filter (apply_total_filter; RSGISTotalFilter,
+    src/filtering/RSGISStatsFilters.cpp:466-487); clipped in-bounds
+    window like the rest of the family."""
+    s, _ = focal_sum_count(arr, radius)
+    return s
+
+
+def focal_coeff_of_var(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """Coefficient of variation = stddev_pop / mean over the window
+    (apply_coeff_of_var_filter; RSGISCoeffOfVarFilter,
+    RSGISStatsFilters.cpp:295-330)."""
+    s, c = focal_sum_count(arr, radius)
+    s2, _ = focal_sum_count(arr.astype(np.int64) ** 2, radius)
+    mean = s / c
+    return np.sqrt(np.maximum(s2 / c - mean * mean, 0.0)) / mean
+
+
+def focal_total_diff(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """Sum of (neighbour − centre) over the window excluding the centre
+    (apply_total_diff_filter; RSGISTotalDiffFilter,
+    RSGISStatsFilters.cpp:782-810). The centre term contributes zero, so
+    this is ``window_sum − count·centre`` — integral-image exact."""
+    s, c = focal_sum_count(arr, radius)
+    return s - c * arr.astype(np.int64)
+
+
+def focal_mean_diff(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """total_diff / (count − 1) (apply_mean_diff_filter;
+    RSGISMeanDiffFilter, RSGISStatsFilters.cpp:673-705 — the reference
+    divides by the neighbour count excluding the centre)."""
+    s, c = focal_sum_count(arr, radius)
+    return (s - c * arr.astype(np.int64)) / (c - 1)
+
+
+def focal_total_diff_abs(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """Sum of |neighbour − centre| over the window
+    (apply_total_diff_abs_filter; RSGISTotalDiffAbsFilter,
+    RSGISStatsFilters.cpp:833-861). No integral-image shortcut for the
+    absolute value — NaN-padded sliding windows; integer-valued exact on
+    integer rasters."""
+    w = _windows(arr.astype(np.float64), radius, np.nan)
+    d = np.abs(w - arr.astype(np.float64)[:, :, None, None])
+    return np.nansum(d, axis=(2, 3))
+
+
+def focal_mean_diff_abs(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """total_diff_abs / (count − 1) (apply_mean_diff_abs_filter;
+    RSGISMeanDiffAbsFilter, RSGISStatsFilters.cpp:729-760)."""
+    _, c = focal_sum_count(arr, radius)
+    return focal_total_diff_abs(arr, radius) / (c - 1)
+
+
+def focal_mode(arr: np.ndarray, radius: int = 1, vmax: int = 4095) -> np.ndarray:
+    """Window mode for small non-negative integer rasters, SMALLEST
+    value on ties (apply_mode_filter; RSGISModeFilter,
+    RSGISStatsFilters.cpp:125-151). Documented deviation: the
+    reference's SortedGenericList::getMostCommonValue compares element
+    POINTERS, not values (SortedGenericList.cpp:327), so its run-length
+    scan never sees a run longer than 1 and the returned "mode" is
+    indeterminate; this engine implements the textbook semantics the
+    API documents. Vectorized: one scatter-add per window offset into a
+    per-pixel value-count cube, argmax picks the first (= smallest)
+    maximal value."""
+    if arr.dtype.kind not in "iu":
+        raise ValueError("focal_mode needs an integer raster")
+    top = int(arr.max()) if arr.size else 0
+    if top > vmax:
+        raise ValueError(f"focal_mode value range {top} exceeds vmax={vmax}")
+    h, w = arr.shape
+    counts = np.zeros((h, w, top + 1), np.int16)
+    iy, ix = np.mgrid[0:h, 0:w]
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            ys0, ys1 = max(0, -dy), min(h, h - dy)
+            xs0, xs1 = max(0, -dx), min(w, w - dx)
+            sub = arr[ys0 + dy : ys1 + dy, xs0 + dx : xs1 + dx]
+            counts[
+                iy[ys0:ys1, xs0:xs1], ix[ys0:ys1, xs0:xs1], sub
+            ] += 1
+    return counts.argmax(axis=2).astype(np.int64)
+
+
 def morph_opening(arr: np.ndarray, radius: int = 1) -> np.ndarray:
     """Grayscale opening = dilate(erode) (imagemorphology opening op)."""
     return focal_max(focal_min(arr, radius), radius)

@@ -29,6 +29,13 @@ KERNELS = {
     "range": FK.focal_range,
     "stddev": FK.focal_stddev_pop,
     "median": FK.focal_median,
+    "mode": FK.focal_mode,
+    "total": FK.focal_total,
+    "coeff_of_var": FK.focal_coeff_of_var,
+    "mean_diff": FK.focal_mean_diff,
+    "mean_diff_abs": FK.focal_mean_diff_abs,
+    "total_diff": FK.focal_total_diff,
+    "total_diff_abs": FK.focal_total_diff_abs,
 }
 
 
@@ -94,6 +101,77 @@ def focal_stats_tiled(
 def focal_grid(arr: np.ndarray, stat: str, radius: int = 1) -> np.ndarray:
     """Whole-array focal filter (library entry for small rasters/tests)."""
     return KERNELS[stat](arr, radius)
+
+
+def stat_filters_tiled(
+    images: DataFrame,
+    tile: int = 128,
+    band: str = "red",
+) -> DataFrame:
+    """Remaining statistics filters of the reference's family — total,
+    total-diff(+abs), mean-diff denominators, and the window mode
+    (apply_total/total_diff/total_diff_abs/mean_diff/mode_filter,
+    python/rsgislib/imagefilter/__init__.py:37-980) — reduced to
+    per-image integer aggregates over halo tiles. Clipped in-bounds
+    window semantics: a crop pixel's window clips only at true IMAGE
+    boundaries (the halo covers tile seams), so the tiled result equals
+    the whole-array filters exactly (tests assert this).
+
+    Returns (image_key, n_px, sum_total, sum_abs_total_diff [Σ_p
+    |total_diff(p)| — the SIGNED per-pixel sums image-summed would
+    telescope to zero (every neighbour pair cancels), so the abs is
+    taken per pixel], sum_abs_nbr_diff [Σ_p total_diff_abs(p)],
+    sum_nbrs, sum_mode, mean_abs_diff_overall) — the overall mean is a
+    ratio of two integer sums (hash-stable); per-pixel mean_diff floats
+    never leave the kernel.
+    """
+    from rsgislib_spark.kernels import bands as BK
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for rec in pdf.itertuples(index=False):
+                w, h = int(rec.w), int(rec.h)
+                grid = BK.synth_band_grid(int(rec.image_key), w, h, band)
+                s_tot = s_td = s_abs = s_nbr = s_mode = 0
+                for tx, ty, x0, y0, tw, th, ax0, ay0, aw, ah in (
+                    tile_windows_overlap_anchored(w, h, tile, tile, overlap=1)
+                ):
+                    sub = grid[y0 : y0 + th, x0 : x0 + tw]
+                    iy0 = ay0 - y0
+                    ix0 = ax0 - x0
+                    crop = (slice(iy0, iy0 + ah), slice(ix0, ix0 + aw))
+                    s, c = FK.focal_sum_count(sub, 1)
+                    td = FK.focal_total_diff(sub, 1)
+                    s_tot += int(s[crop].sum())
+                    s_td += int(np.abs(td[crop]).sum())
+                    s_abs += int(FK.focal_total_diff_abs(sub, 1)[crop].sum())
+                    s_nbr += int((c[crop] - 1).sum())
+                    s_mode += int(FK.focal_mode(sub, 1)[crop].sum())
+                outs.append(
+                    (int(rec.image_key), w * h, s_tot, s_td, s_abs, s_nbr, s_mode)
+                )
+            yield pd.DataFrame(
+                outs,
+                columns=[
+                    "image_key", "n_px", "sum_total", "sum_abs_total_diff",
+                    "sum_abs_nbr_diff", "sum_nbrs", "sum_mode",
+                ],
+            )
+
+    from pyspark.sql import functions as F
+
+    out = images.select("image_key", "w", "h").mapInPandas(
+        _run,
+        schema=(
+            "image_key long, n_px long, sum_total long, sum_abs_total_diff long, "
+            "sum_abs_nbr_diff long, sum_nbrs long, sum_mode long"
+        ),
+    )
+    return out.withColumn(
+        "mean_abs_diff_overall",
+        F.round(F.col("sum_abs_nbr_diff") / F.col("sum_nbrs"), 6),
+    )
 
 
 def edge_filters_tiled(

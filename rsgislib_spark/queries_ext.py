@@ -283,6 +283,68 @@ WHERE EXISTS (
 """)
 
 
+def q100_stat_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining statistics-filter family — total, total-diff(+abs),
+    mean-diff, window mode (apply_*_filter wrappers,
+    imagefilter/__init__.py:37-980; impls RSGISStatsFilters.cpp) — via
+    the halo-tile operator, as per-image integer aggregates. The oracle
+    replays the clipped in-bounds 3×3 windows relationally: per-pixel
+    window sums/counts, centre value from the lattice formula,
+    |neighbour − centre| sums, and the per-pixel mode via a value-count
+    ROW_NUMBER (count DESC, value ASC = the kernel's smallest-on-tie
+    rule)."""
+    from rsgislib_spark.operators.focal import stat_filters_tiled
+
+    load_views(spark, sf_dir)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0))
+    return stat_filters_tiled(gi, tile=128)
+
+
+ORACLE_Q100 = _cte(f""",
+px_small AS (
+  SELECT image_key, w, h, gx.px AS px, gy.py AS py
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+), offs AS (
+  SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) o(dx, dy)
+), nbr AS (
+  SELECT p.image_key, p.px, p.py,
+         (p.image_key * 7 + (p.px + o.dx) * 13 + (p.py + o.dy) * 17) % 251 AS v,
+         (p.image_key * 7 + p.px * 13 + p.py * 17) % 251 AS c_v
+  FROM px_small p CROSS JOIN offs o
+  WHERE p.px + o.dx >= 0 AND p.px + o.dx < p.w
+    AND p.py + o.dy >= 0 AND p.py + o.dy < p.h
+), per_px AS (
+  SELECT image_key, px, py,
+         SUM(v) AS s, COUNT(*) AS cnt, MIN(c_v) AS c,
+         SUM(ABS(v - c_v)) AS absd
+  FROM nbr GROUP BY image_key, px, py
+), vc AS (
+  SELECT image_key, px, py, v, COUNT(*) AS vcnt
+  FROM nbr GROUP BY image_key, px, py, v
+), mode_px AS (
+  SELECT image_key, px, py, v AS mode_v FROM (
+    SELECT image_key, px, py, v,
+           ROW_NUMBER() OVER (PARTITION BY image_key, px, py
+                              ORDER BY vcnt DESC, v ASC) AS rn
+    FROM vc
+  ) WHERE rn = 1
+)
+SELECT p.image_key, COUNT(*) AS n_px,
+       CAST(SUM(p.s) AS BIGINT) AS sum_total,
+       CAST(SUM(ABS(p.s - p.cnt * p.c)) AS BIGINT) AS sum_abs_total_diff,
+       CAST(SUM(p.absd) AS BIGINT) AS sum_abs_nbr_diff,
+       CAST(SUM(p.cnt - 1) AS BIGINT) AS sum_nbrs,
+       CAST(SUM(m.mode_v) AS BIGINT) AS sum_mode,
+       ROUND(CAST(SUM(p.absd) AS DOUBLE) / SUM(p.cnt - 1), 6) AS mean_abs_diff_overall
+FROM per_px p JOIN mode_px m
+  ON p.image_key = m.image_key AND p.px = m.px AND p.py = m.py
+GROUP BY p.image_key
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -2884,6 +2946,7 @@ QUERIES_EXT = {
     "q97_sequence_packing": q97_sequence_packing,
     "q98_edge_filters": q98_edge_filters,
     "q99_spatial_select": q99_spatial_select,
+    "q100_stat_filters": q100_stat_filters,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -3021,6 +3084,7 @@ ORACLES_EXT = {
     "q97_sequence_packing": ORACLE_Q97,
     "q98_edge_filters": ORACLE_Q98,
     "q99_spatial_select": ORACLE_Q99,
+    "q100_stat_filters": ORACLE_Q100,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,

@@ -1,0 +1,99 @@
+"""Statistics-filter kernels: reference semantics on hand-checked
+windows, tiled-vs-whole-array exactness, and the operator output."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rsgislib_spark.kernels import focal as FK
+from rsgislib_spark.kernels.bands import synth_band_grid
+from rsgislib_spark.kernels.pixelmath import tile_windows_overlap_anchored
+
+
+def test_small_window_semantics():
+    a = np.array([[1, 2, 3], [4, 5, 6], [7, 8, 9]], np.int64)
+    # centre pixel: full 3x3 window
+    assert FK.focal_total(a)[1, 1] == 45
+    assert FK.focal_total_diff(a)[1, 1] == 45 - 9 * 5
+    assert FK.focal_total_diff_abs(a)[1, 1] == sum(abs(v - 5) for v in range(1, 10))
+    assert FK.focal_mean_diff(a)[1, 1] == (45 - 45) / 8
+    # corner pixel: clipped 2x2 in-bounds window {1,2,4,5}
+    assert FK.focal_total(a)[0, 0] == 12
+    assert FK.focal_total_diff(a)[0, 0] == 12 - 4 * 1
+    assert FK.focal_total_diff_abs(a)[0, 0] == (0 + 1 + 3 + 4)
+    assert FK.focal_mean_diff(a)[0, 0] == pytest.approx(8 / 3)
+    cv = FK.focal_coeff_of_var(a)
+    m = np.mean(a)
+    assert cv[1, 1] == pytest.approx(np.sqrt(np.mean((a - m) ** 2)) / m)
+
+
+def test_mode_smallest_on_tie():
+    a = np.array([[1, 1, 2], [2, 3, 3], [4, 5, 6]], np.int64)
+    # centre window counts: 1x2, 2x2, 3x2, 4/5/6 x1 -> tie 1/2/3, pick 1
+    assert FK.focal_mode(a)[1, 1] == 1
+    # corner (0,0) in-bounds window {1,1,2,3}: mode 1
+    assert FK.focal_mode(a)[0, 0] == 1
+
+
+def test_mode_matches_bruteforce():
+    rng = np.random.RandomState(7)
+    a = rng.randint(0, 9, size=(17, 13)).astype(np.int64)
+    got = FK.focal_mode(a)
+    for y in range(a.shape[0]):
+        for x in range(a.shape[1]):
+            win = a[max(0, y - 1) : y + 2, max(0, x - 1) : x + 2].ravel()
+            counts = np.bincount(win)
+            want = int(np.flatnonzero(counts == counts.max())[0])
+            assert got[y, x] == want, (y, x)
+
+
+def test_mode_requires_int():
+    with pytest.raises(ValueError):
+        FK.focal_mode(np.zeros((2, 2), np.float64))
+
+
+@pytest.mark.parametrize("w,h,tile", [(130, 67, 64), (128, 128, 64)])
+def test_tiled_equals_whole(w, h, tile):
+    grid = synth_band_grid(401, w, h, "red")
+    s, c = FK.focal_sum_count(grid, 1)
+    want = (
+        int(s.sum()),
+        int(np.abs(FK.focal_total_diff(grid, 1)).sum()),
+        int(FK.focal_total_diff_abs(grid, 1).sum()),
+        int((c - 1).sum()),
+        int(FK.focal_mode(grid, 1).sum()),
+    )
+    acc = [0] * 5
+    for tx, ty, x0, y0, tw, th, ax0, ay0, aw, ah in (
+        tile_windows_overlap_anchored(w, h, tile, tile, overlap=1)
+    ):
+        sub = grid[y0 : y0 + th, x0 : x0 + tw]
+        iy0, ix0 = ay0 - y0, ax0 - x0
+        crop = (slice(iy0, iy0 + ah), slice(ix0, ix0 + aw))
+        ss, cc = FK.focal_sum_count(sub, 1)
+        acc[0] += int(ss[crop].sum())
+        acc[1] += int(np.abs(FK.focal_total_diff(sub, 1)[crop]).sum())
+        acc[2] += int(FK.focal_total_diff_abs(sub, 1)[crop].sum())
+        acc[3] += int((cc[crop] - 1).sum())
+        acc[4] += int(FK.focal_mode(sub, 1)[crop].sum())
+    assert tuple(acc) == want
+
+
+def test_operator_output(spark):
+    from rsgislib_spark.operators.focal import stat_filters_tiled
+
+    images = spark.createDataFrame(
+        pd.DataFrame({"image_key": [5], "w": [66], "h": [70]})
+    )
+    row = stat_filters_tiled(images, tile=64).toPandas().iloc[0]
+    grid = synth_band_grid(5, 66, 70, "red")
+    s, c = FK.focal_sum_count(grid, 1)
+    assert row["n_px"] == 66 * 70
+    assert row["sum_total"] == int(s.sum())
+    assert row["sum_abs_total_diff"] == int(
+        np.abs(FK.focal_total_diff(grid, 1)).sum()
+    )
+    assert row["sum_abs_total_diff"] > 0  # signed sums would telescope to 0
+    assert row["sum_abs_nbr_diff"] == int(FK.focal_total_diff_abs(grid, 1).sum())
+    assert row["sum_nbrs"] == int((c - 1).sum())
+    assert row["sum_mode"] == int(FK.focal_mode(grid, 1).sum())
