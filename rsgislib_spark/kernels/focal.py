@@ -180,6 +180,71 @@ def focal_mode(arr: np.ndarray, radius: int = 1, vmax: int = 4095) -> np.ndarray
     return counts.argmax(axis=2).astype(np.int64)
 
 
+def _norm_var_sar(m1: np.ndarray, m2: np.ndarray, arr: np.ndarray, radius: int):
+    """Shared finalizer for the SAR texture (normalised-variance) family
+    (RSGISSARTextureFilters.cpp): window sums of two moment arrays over
+    VALID (nonzero, finite) pixels; output (E[m2]/E[m1]² − 1), zero
+    where the centre pixel is invalid or fewer than 4 valid values."""
+    valid = (arr != 0) & np.isfinite(arr)
+    s1, _ = focal_sum_count(np.where(valid, m1, 0.0), radius, dtype=np.float64)
+    s2, _ = focal_sum_count(np.where(valid, m2, 0.0), radius, dtype=np.float64)
+    n, _ = focal_sum_count(valid.astype(np.int64), radius)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = s1 / n
+        out = (s2 / n) / (mean * mean) - 1.0
+    return np.where(valid & (n > 3), out, 0.0)
+
+
+def focal_norm_var_power(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """SAR normalised variance of power (apply_norm_var_power_filter;
+    RSGISNormVarPowerFilter, RSGISSARTextureFilters.cpp:52-68):
+    E[v²]/E[v]² − 1 over valid window values."""
+    a = arr.astype(np.float64)
+    return _norm_var_sar(a, a * a, a, radius)
+
+
+def focal_norm_var_amplitude(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """SAR normalised variance treating input as power, moments of the
+    amplitude √v (apply_norm_var_amplitude_filter;
+    RSGISNormVarAmplitudeFilter, RSGISSARTextureFilters.cpp:71-87):
+    E[v]/E[√v]² − 1."""
+    a = arr.astype(np.float64)
+    with np.errstate(invalid="ignore"):
+        amp = np.sqrt(np.where(a > 0, a, 0.0))
+    return _norm_var_sar(amp, a, a, radius)
+
+
+def focal_norm_var_ln_power(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """SAR normalised variance of log-power
+    (apply_norm_var_ln_power_filter; RSGISNormVarLnPowerFilter,
+    RSGISSARTextureFilters.cpp:90-106): E[ln²v]/E[ln v]² − 1."""
+    a = arr.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ln = np.where(a > 0, np.log(np.where(a > 0, a, 1.0)), 0.0)
+    return _norm_var_sar(ln, ln * ln, a, radius)
+
+
+def focal_texture_var(arr: np.ndarray, radius: int = 1) -> np.ndarray:
+    """SAR texture variance (apply_texture_var_filter; RSGISTextureVar,
+    RSGISSARTextureFilters.cpp:128-146): ((σ/μ)² − 1/n)/(1 + 1/n) over
+    valid (nonzero, finite) window values, zero where the centre is
+    invalid or n ≤ 3. Documented deviation: the reference computes
+    ``1/numVal`` in UNSIGNED INTEGER arithmetic, which is 0 for every
+    window, silently reducing its output to plain CV²; this engine
+    implements the estimator the formula documents (float 1/n)."""
+    valid = (arr != 0) & np.isfinite(arr)
+    a = np.where(valid, arr.astype(np.float64), 0.0)
+    s1, _ = focal_sum_count(a, radius, dtype=np.float64)
+    s2, _ = focal_sum_count(a * a, radius, dtype=np.float64)
+    n, _ = focal_sum_count(valid.astype(np.int64), radius)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = s1 / n
+        var = np.maximum(s2 / n - mean * mean, 0.0)
+        cv2 = var / (mean * mean)
+        out = (cv2 - 1.0 / n) / (1.0 + 1.0 / n)
+    return np.where(valid & (n > 3), out, 0.0)
+
+
 def morph_opening(arr: np.ndarray, radius: int = 1) -> np.ndarray:
     """Grayscale opening = dilate(erode) (imagemorphology opening op)."""
     return focal_max(focal_min(arr, radius), radius)

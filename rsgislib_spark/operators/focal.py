@@ -36,6 +36,10 @@ KERNELS = {
     "mean_diff_abs": FK.focal_mean_diff_abs,
     "total_diff": FK.focal_total_diff,
     "total_diff_abs": FK.focal_total_diff_abs,
+    "norm_var_power": FK.focal_norm_var_power,
+    "norm_var_amplitude": FK.focal_norm_var_amplitude,
+    "norm_var_ln_power": FK.focal_norm_var_ln_power,
+    "texture_var": FK.focal_texture_var,
 }
 
 

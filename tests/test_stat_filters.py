@@ -97,3 +97,57 @@ def test_operator_output(spark):
     assert row["sum_abs_nbr_diff"] == int(FK.focal_total_diff_abs(grid, 1).sum())
     assert row["sum_nbrs"] == int((c - 1).sum())
     assert row["sum_mode"] == int(FK.focal_mode(grid, 1).sum())
+
+
+def _brute_norm_var(arr, moments, radius=1):
+    h, w = arr.shape
+    out = np.zeros((h, w))
+    for y in range(h):
+        for x in range(w):
+            if arr[y, x] == 0 or not np.isfinite(arr[y, x]):
+                continue
+            win = arr[max(0, y - radius) : y + radius + 1,
+                      max(0, x - radius) : x + radius + 1].ravel()
+            vals = win[(win != 0) & np.isfinite(win)]
+            if len(vals) > 3:
+                m1 = np.mean(moments[0](vals))
+                m2 = np.mean(moments[1](vals))
+                out[y, x] = m2 / (m1 * m1) - 1.0
+    return out
+
+
+def test_sar_norm_var_family():
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 20, size=(12, 9)).astype(np.float64)  # zeros present
+    got_p = FK.focal_norm_var_power(a)
+    want_p = _brute_norm_var(a, (lambda v: v, lambda v: v * v))
+    np.testing.assert_allclose(got_p, want_p, atol=1e-9)
+
+    got_a = FK.focal_norm_var_amplitude(a)
+    want_a = _brute_norm_var(a, (np.sqrt, lambda v: v))
+    np.testing.assert_allclose(got_a, want_a, atol=1e-9)
+
+    got_l = FK.focal_norm_var_ln_power(a)
+    want_l = _brute_norm_var(a, (np.log, lambda v: np.log(v) ** 2))
+    np.testing.assert_allclose(got_l, want_l, atol=1e-9)
+
+
+def test_texture_var():
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 20, size=(10, 8)).astype(np.float64)
+    got = FK.focal_texture_var(a)
+    h, w = a.shape
+    for y in range(h):
+        for x in range(w):
+            if a[y, x] == 0:
+                assert got[y, x] == 0.0
+                continue
+            win = a[max(0, y - 1) : y + 2, max(0, x - 1) : x + 2].ravel()
+            vals = win[win != 0]
+            n = len(vals)
+            if n <= 3:
+                assert got[y, x] == 0.0
+                continue
+            cv2 = np.var(vals) / np.mean(vals) ** 2
+            want = (cv2 - 1.0 / n) / (1.0 + 1.0 / n)
+            assert got[y, x] == pytest.approx(want, abs=1e-9), (y, x)
