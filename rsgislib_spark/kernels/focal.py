@@ -245,6 +245,71 @@ def focal_texture_var(arr: np.ndarray, radius: int = 1) -> np.ndarray:
     return np.where(valid & (n > 3), out, 0.0)
 
 
+def circular_se(size: int) -> np.ndarray:
+    """Circular binary structuring element (create_circular_op;
+    RSGISMatrices::makeCircularBinaryMatrix, RSGISMatrices.cpp:1109):
+    cell (dx,dy) included iff dx²+dy² ≤ (r+0.25)², r=(size−1)/2. Size
+    must be odd."""
+    if size % 2 == 0:
+        raise ValueError("structuring element size must be odd")
+    r = (size - 1) // 2
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    return (dx * dx + dy * dy) <= (r + 0.25) ** 2
+
+
+def _se_reduce(arr: np.ndarray, se: np.ndarray, op: str) -> np.ndarray:
+    """Min/max over the SE-masked clipped window of every pixel."""
+    k = se.shape[0]
+    radius = (k - 1) // 2
+    pad = (
+        (np.iinfo(arr.dtype).max if arr.dtype.kind in "iu" else np.inf)
+        if op == "min"
+        else (np.iinfo(arr.dtype).min if arr.dtype.kind in "iu" else -np.inf)
+    )
+    w = _windows(arr, radius, pad)
+    flat = w.reshape(arr.shape[0], arr.shape[1], k * k)[:, :, se.ravel()]
+    return flat.min(axis=2) if op == "min" else flat.max(axis=2)
+
+
+def morph_erode_se(arr: np.ndarray, se: np.ndarray) -> np.ndarray:
+    """Erosion under an arbitrary binary structuring element
+    (image_erode with an operator file; RSGISMorphologyErode.cpp)."""
+    return _se_reduce(arr, se, "min")
+
+
+def morph_dilate_se(arr: np.ndarray, se: np.ndarray) -> np.ndarray:
+    """Dilation under an arbitrary binary structuring element
+    (image_dilate with an operator file; RSGISMorphologyDilate.cpp)."""
+    return _se_reduce(arr, se, "max")
+
+
+def local_minima(
+    arr: np.ndarray,
+    radius: int = 1,
+    allow_equals: bool = True,
+    se: np.ndarray | None = None,
+) -> np.ndarray:
+    """Local-minima detection (local_pixel_minima;
+    RSGISMorphologyFindLocalMinima, RSGISMorphologyFindExtrema.cpp):
+    1 where the centre is below (or, with ``allow_equals``, not above)
+    every SE neighbour, clipped at image edges. Documented deviation:
+    the reference's neighbour filter is ``(i != c) & (j != c)`` —
+    bitwise AND — which skips the entire centre ROW and COLUMN, so it
+    only ever compares the diagonal quadrants; this engine excludes
+    just the centre pixel, the semantics the API documents."""
+    k = 2 * radius + 1
+    if se is None:
+        se = np.ones((k, k), bool)
+    se = se.copy()
+    se[radius, radius] = False  # centre never compares against itself
+    hi = np.iinfo(arr.dtype).max if arr.dtype.kind in "iu" else np.inf
+    w = _windows(arr, radius, hi)
+    nbr_min = w.reshape(arr.shape[0], arr.shape[1], k * k)[:, :, se.ravel()].min(axis=2)
+    if allow_equals:
+        return (arr <= nbr_min).astype(np.int64)
+    return (arr < nbr_min).astype(np.int64)
+
+
 def morph_opening(arr: np.ndarray, radius: int = 1) -> np.ndarray:
     """Grayscale opening = dilate(erode) (imagemorphology opening op)."""
     return focal_max(focal_min(arr, radius), radius)

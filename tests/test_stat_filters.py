@@ -151,3 +151,46 @@ def test_texture_var():
             cv2 = np.var(vals) / np.mean(vals) ** 2
             want = (cv2 - 1.0 / n) / (1.0 + 1.0 / n)
             assert got[y, x] == pytest.approx(want, abs=1e-9), (y, x)
+
+
+def test_circular_se():
+    se3 = FK.circular_se(3)
+    # r=1: (r+0.25)^2 = 1.5625 -> corners (2) excluded, cross included
+    assert se3.tolist() == [[False, True, False], [True, True, True], [False, True, False]]
+    se5 = FK.circular_se(5)
+    assert se5[0, 0] == False and se5[2, 2] == True and se5[0, 2] == True
+    with pytest.raises(ValueError):
+        FK.circular_se(4)
+
+
+def test_se_erode_dilate_bruteforce():
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 50, size=(11, 9)).astype(np.int64)
+    se = FK.circular_se(3)
+    er = FK.morph_erode_se(a, se)
+    di = FK.morph_dilate_se(a, se)
+    h, w = a.shape
+    for y in range(h):
+        for x in range(w):
+            vals = []
+            for dy in range(-1, 2):
+                for dx in range(-1, 2):
+                    if se[dy + 1, dx + 1] and 0 <= y + dy < h and 0 <= x + dx < w:
+                        vals.append(a[y + dy, x + dx])
+            assert er[y, x] == min(vals)
+            assert di[y, x] == max(vals)
+
+
+def test_local_minima():
+    a = np.array([[5, 4, 5], [4, 1, 4], [5, 4, 5]], np.int64)
+    m = FK.local_minima(a)
+    assert m[1, 1] == 1 and m.sum() == 1
+    # plateau: allow_equals keeps both, strict drops both
+    b = np.array([[3, 3, 9], [9, 9, 9], [9, 9, 9]], np.int64)
+    assert FK.local_minima(b, allow_equals=True)[0, 0] == 1
+    assert FK.local_minima(b, allow_equals=True)[0, 1] == 1
+    assert FK.local_minima(b, allow_equals=False)[0, 0] == 0
+    # circular SE: corner neighbours are ignored
+    c = np.array([[0, 9, 9], [9, 5, 9], [9, 9, 0]], np.int64)
+    assert FK.local_minima(c, se=FK.circular_se(3))[1, 1] == 1  # diagonals excluded
+    assert FK.local_minima(c)[1, 1] == 0
