@@ -345,6 +345,77 @@ GROUP BY p.image_key
 """)
 
 
+def q101_morph_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphology under an arbitrary structuring element + local-minima
+    detection (image_erode/image_dilate with an operator file,
+    imagemorphology/__init__.py create_circular_op →
+    RSGISMatrices::makeCircularBinaryMatrix; local_pixel_minima →
+    RSGISMorphologyFindLocalMinima): the 3×3 circular SE is the 5-cell
+    cross, so the oracle replays MIN/MAX over the in-bounds cross
+    offsets and counts centres not above their 4-neighbour minimum
+    (allow-equals rule). Full image incl. clipped edges."""
+    from rsgislib_spark.kernels import bands as BK
+    from rsgislib_spark.kernels import focal as FK
+
+    load_views(spark, sf_dir)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)).select(
+        "image_key", "w", "h"
+    )
+
+    def _mo(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        se = FK.circular_se(3)
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                g = BK.synth_band_grid(k, w, h, "red")
+                er = FK.morph_erode_se(g, se)
+                di = FK.morph_dilate_se(g, se)
+                mn = FK.local_minima(g, se=se, allow_equals=True)
+                rows.append(
+                    (k, g.size, int(er.sum()), int(di.sum()), int(mn.sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_key", "n_px", "sum_erode", "sum_dilate", "n_minima"],
+            )
+
+    return gi.mapInPandas(
+        _mo,
+        schema="image_key long, n_px long, sum_erode long, sum_dilate long, n_minima long",
+    )
+
+
+ORACLE_Q101 = _cte(f""",
+px_small AS (
+  SELECT image_key, w, h, gx.px AS px, gy.py AS py
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+), offs AS (
+  SELECT dx, dy FROM (VALUES (0,0),(-1,0),(1,0),(0,-1),(0,1)) o(dx, dy)
+), nbr AS (
+  SELECT p.image_key, p.px, p.py, o.dx, o.dy,
+         (p.image_key * 7 + (p.px + o.dx) * 13 + (p.py + o.dy) * 17) % 251 AS v,
+         (p.image_key * 7 + p.px * 13 + p.py * 17) % 251 AS c_v
+  FROM px_small p CROSS JOIN offs o
+  WHERE p.px + o.dx >= 0 AND p.px + o.dx < p.w
+    AND p.py + o.dy >= 0 AND p.py + o.dy < p.h
+), per_px AS (
+  SELECT image_key, px, py,
+         MIN(v) AS er, MAX(v) AS di, MIN(c_v) AS c,
+         MIN(CASE WHEN dx = 0 AND dy = 0 THEN NULL ELSE v END) AS nmin
+  FROM nbr GROUP BY image_key, px, py
+)
+SELECT image_key, COUNT(*) AS n_px,
+       CAST(SUM(er) AS BIGINT) AS sum_erode,
+       CAST(SUM(di) AS BIGINT) AS sum_dilate,
+       CAST(SUM(CASE WHEN c <= nmin THEN 1 ELSE 0 END) AS BIGINT) AS n_minima
+FROM per_px GROUP BY image_key
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -2947,6 +3018,7 @@ QUERIES_EXT = {
     "q98_edge_filters": q98_edge_filters,
     "q99_spatial_select": q99_spatial_select,
     "q100_stat_filters": q100_stat_filters,
+    "q101_morph_se": q101_morph_se,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -3085,6 +3157,7 @@ ORACLES_EXT = {
     "q98_edge_filters": ORACLE_Q98,
     "q99_spatial_select": ORACLE_Q99,
     "q100_stat_filters": ORACLE_Q100,
+    "q101_morph_se": ORACLE_Q101,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,
