@@ -26,11 +26,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 
-def label_components(mask: np.ndarray, connectivity: int = 4) -> np.ndarray:
+def label_components(
+    mask: np.ndarray,
+    connectivity: int = 4,
+    categories: np.ndarray | None = None,
+) -> np.ndarray:
     """4- or 8-connected component labels of a boolean mask.
 
     Returns int64 labels; background = -1. Labels are the minimum linear
     pixel index of the component — deterministic, order-free.
+
+    With ``categories`` (an int raster, e.g. k-means cluster ids), two
+    neighbours link only when their category values are equal — the
+    reference's clump-of-equal-valued-regions semantics (clump,
+    python/src/segmentation.cpp:685-696).
     """
     h, w = mask.shape
     lab = np.where(mask, np.arange(h * w, dtype=np.int64).reshape(h, w), -1)
@@ -54,6 +63,11 @@ def label_components(mask: np.ndarray, connectivity: int = 4) -> np.ndarray:
             dst = out[ys0:ys1, xs0:xs1]
             nb = out[ys0 - dy : ys1 - dy, xs0 - dx : xs1 - dx]
             both = (dst >= 0) & (nb >= 0)
+            if categories is not None:
+                both &= (
+                    categories[ys0:ys1, xs0:xs1]
+                    == categories[ys0 - dy : ys1 - dy, xs0 - dx : xs1 - dx]
+                )
             np.minimum(dst, nb, out=dst, where=both)
         return out
 

@@ -416,6 +416,159 @@ FROM per_px GROUP BY image_key
 """)
 
 
+def q102_eliminate_clumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stepwise small-clump elimination — the core of Shepherd et al.
+    (2019) iterative-elimination segmentation (rm_small_clumps_stepwise,
+    RSGISEliminateSmallClumps::stepwiseEliminateSmallClumps,
+    src/segmentation/RSGISEliminateSmallClumps.cpp:284-560). Initial
+    clumps are horizontal runs of the parity category (SQL-closed-form
+    via window functions) so the oracle can replay all three rounds:
+    start-of-round sizes/band-mean distances, strictly-larger-neighbour
+    argmin with smallest-id tie-break, threshold fence, and order-free
+    merge-chain resolution (3 unrolled pointer jumps — chain depth is
+    bounded by the round's area because sizes strictly increase along a
+    chain)."""
+    from rsgislib_spark.kernels import bands as BK
+    from rsgislib_spark.operators.segmentation import (
+        eliminate_small_clumps,
+        run_clumps_1d,
+    )
+
+    load_views(spark, sf_dir)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)).select(
+        "image_key", "w", "h"
+    )
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                v = BK.synth_band_grid(k, w, h, "red")
+                lab0 = run_clumps_1d((v // 32) % 4)
+                lab = eliminate_small_clumps(
+                    lab0, v.astype(np.float64), min_size=3, dist_thres=40.0
+                )
+                pos = np.arange(v.size, dtype=np.int64)
+                rows.append(
+                    (
+                        k,
+                        int(np.unique(lab0).size),
+                        int(np.unique(lab).size),
+                        int((lab != lab0).sum()),
+                        int(((lab.ravel() + 1) * (pos + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_key", "n_clumps0", "n_clumps_final",
+                    "n_px_relabelled", "label_checksum",
+                ],
+            )
+
+    return gi.mapInPandas(
+        _run,
+        schema="image_key long, n_clumps0 long, n_clumps_final long, "
+        "n_px_relabelled long, label_checksum long",
+    )
+
+
+def _elim_round(k: int, area: int, min_size: int = 3, thres2: float = 1600.0) -> str:
+    """One unrolled elimination round: a{k-1} -> a{k}."""
+    prev = f"a{k - 1}"
+    d2 = "(sa.s*1.0/sa.n - sb.s*1.0/sb.n)*(sa.s*1.0/sa.n - sb.s*1.0/sb.n)"
+    return f"""
+, sz{k} AS MATERIALIZED (SELECT image_key, lab, COUNT(*) AS n, SUM(v) AS s FROM {prev} GROUP BY 1, 2)
+, e{k} AS MATERIALIZED (
+  SELECT l.image_key, l.lab AS a, r.lab AS b
+  FROM {prev} l JOIN {prev} r
+    ON l.image_key = r.image_key AND r.py = l.py AND r.px = l.px + 1
+  WHERE l.lab != r.lab
+  UNION ALL
+  SELECT l.image_key, l.lab, r.lab
+  FROM {prev} l JOIN {prev} r
+    ON l.image_key = r.image_key AND r.px = l.px AND r.py = l.py + 1
+  WHERE l.lab != r.lab
+)
+, adj{k} AS (
+  SELECT DISTINCT image_key, a, b FROM (
+    SELECT image_key, a, b FROM e{k}
+    UNION ALL SELECT image_key, b AS a, a AS b FROM e{k}
+  )
+)
+, ch{k} AS (
+  SELECT image_key, a, b FROM (
+    SELECT e.image_key, e.a, e.b,
+           ROW_NUMBER() OVER (PARTITION BY e.image_key, e.a
+                              ORDER BY {d2} ASC, e.b ASC) AS rn
+    FROM adj{k} e
+    JOIN sz{k} sa ON sa.image_key = e.image_key AND sa.lab = e.a
+    JOIN sz{k} sb ON sb.image_key = e.image_key AND sb.lab = e.b
+    WHERE sa.n <= {area} AND sa.n < {min_size} AND sb.n > sa.n AND {d2} < {thres2}
+  ) WHERE rn = 1
+)
+, p{k} AS (
+  SELECT c0.image_key, c0.a, COALESCE(c3.b, c2.b, c1.b, c0.b) AS b
+  FROM ch{k} c0
+  LEFT JOIN ch{k} c1 ON c1.image_key = c0.image_key AND c1.a = c0.b
+  LEFT JOIN ch{k} c2 ON c2.image_key = c1.image_key AND c2.a = c1.b
+  LEFT JOIN ch{k} c3 ON c3.image_key = c2.image_key AND c3.a = c2.b
+)
+, a{k} AS MATERIALIZED (
+  SELECT x.image_key, x.px, x.py, x.pos, x.v, COALESCE(p.b, x.lab) AS lab
+  FROM {prev} x LEFT JOIN p{k} p ON p.image_key = x.image_key AND p.a = x.lab
+)"""
+
+
+ORACLE_Q102 = _cte(f""",
+px AS MATERIALIZED (
+  SELECT image_key, w, h, gx.px AS px, gy.py AS py,
+         (image_key * 7 + gx.px * 13 + gy.py * 17) % 251 AS v,
+         gy.py * w + gx.px AS pos
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+), a0 AS MATERIALIZED (
+  SELECT image_key, px, py, pos, v,
+         MIN(pos) OVER (PARTITION BY image_key, py, grp) AS lab
+  FROM (
+    SELECT *, SUM(flag) OVER (PARTITION BY image_key, py ORDER BY px) AS grp
+    FROM (
+      SELECT *, CASE WHEN px = 0
+                     OR ((v // 32) % 4) != (LAG((v // 32) % 4) OVER (PARTITION BY image_key, py ORDER BY px))
+                     THEN 1 ELSE 0 END AS flag
+      FROM px
+    )
+  )
+){_elim_round(1, 1)}{_elim_round(2, 2)}{_elim_round(3, 3)}
+SELECT f.image_key,
+       COUNT(DISTINCT i.lab) AS n_clumps0,
+       COUNT(DISTINCT f.lab) AS n_clumps_final,
+       CAST(SUM(CASE WHEN f.lab != i.lab THEN 1 ELSE 0 END) AS BIGINT) AS n_px_relabelled,
+       CAST(SUM((f.lab + 1) * (f.pos + 1)) AS BIGINT) AS label_checksum
+FROM a3 f JOIN a0 i ON f.image_key = i.image_key AND f.pos = i.pos
+GROUP BY f.image_key
+""")
+
+
+def q103_shepherd_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Shepherd pipeline per image (run_shepherd_segmentation,
+    segmentation/shepherdseg.py:68-398): k-means → clump equal-labelled
+    regions → stepwise eliminate → relabel. Iterative k-means +
+    2-D connected components are not SQL-expressible — rows-only;
+    the elimination core is oracle-gated by q102 and the kernel by
+    tests/test_segmentation.py."""
+    from rsgislib_spark.operators.segmentation import shepherd_segment_images
+
+    load_views(spark, sf_dir)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)).select(
+        "image_key", "w", "h"
+    )
+    return shepherd_segment_images(gi, num_clusters=6, min_size=5, dist_thres=1e9)
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -3019,6 +3172,8 @@ QUERIES_EXT = {
     "q99_spatial_select": q99_spatial_select,
     "q100_stat_filters": q100_stat_filters,
     "q101_morph_se": q101_morph_se,
+    "q102_eliminate_clumps": q102_eliminate_clumps,
+    "q103_shepherd_segmentation": q103_shepherd_segmentation,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -3158,6 +3313,7 @@ ORACLES_EXT = {
     "q99_spatial_select": ORACLE_Q99,
     "q100_stat_filters": ORACLE_Q100,
     "q101_morph_se": ORACLE_Q101,
+    "q102_eliminate_clumps": ORACLE_Q102,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,

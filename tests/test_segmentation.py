@@ -1,0 +1,131 @@
+"""Shepherd elimination: vectorized kernel vs a naive sequential replay
+of the reference's stepwise loop (RSGISEliminateSmallClumps.cpp:284-560,
+with the documented order-free chain resolution)."""
+
+import numpy as np
+import pytest
+
+from rsgislib_spark.operators.clump import label_components
+from rsgislib_spark.operators.segmentation import (
+    eliminate_small_clumps,
+    relabel_sequential,
+    run_clumps_1d,
+    shepherd_segment,
+)
+
+
+def naive_eliminate(labels, spectral, min_size, dist_thres):
+    lab = labels.astype(np.int64).copy()
+    spec = spectral.astype(np.float64)
+    if spec.ndim == 2:
+        spec = spec[None]
+    h, w = lab.shape
+    for area in range(1, min_size + 1):
+        ids = sorted(set(lab.ravel()) - {-1})
+        sizes = {i: int((lab == i).sum()) for i in ids}
+        means = {
+            i: np.array([b[lab == i].mean() for b in spec]) for i in ids
+        }
+        merges = {}
+        for i in ids:
+            if not (sizes[i] <= area and sizes[i] < min_size):
+                continue
+            nbrs = set()
+            ys, xs = np.nonzero(lab == i)
+            for y, x in zip(ys, xs):
+                for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                    yy, xx = y + dy, x + dx
+                    if 0 <= yy < h and 0 <= xx < w and lab[yy, xx] not in (i, -1):
+                        nbrs.add(int(lab[yy, xx]))
+            best, best_d = None, None
+            for nb in sorted(nbrs):
+                if sizes[nb] > sizes[i]:
+                    d = float(np.sqrt(((means[i] - means[nb]) ** 2).sum()))
+                    if best is None or d < best_d:
+                        best, best_d = nb, d
+            if best is not None and best_d < dist_thres:
+                merges[i] = best
+        # order-free chain resolution (documented deviation)
+        def final(t):
+            while t in merges:
+                t = merges[t]
+            return t
+
+        remap = {s: final(t) for s, t in merges.items()}
+        for s, t in remap.items():
+            lab[lab == s] = t
+    return lab
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_eliminate_matches_naive(seed):
+    rng = np.random.RandomState(seed)
+    cat = rng.randint(0, 3, size=(14, 11))
+    spec = rng.randint(0, 100, size=(14, 11)).astype(np.float64)
+    lab0 = label_components(np.ones(cat.shape, bool), 4, categories=cat)
+    got = eliminate_small_clumps(lab0, spec, min_size=4, dist_thres=60.0)
+    want = naive_eliminate(lab0, spec, min_size=4, dist_thres=60.0)
+    assert np.array_equal(got, want)
+    # survivors are >= min_size or had no admissible neighbour
+    sizes = np.bincount(got.ravel())
+    small = [v for v in np.unique(got) if sizes[v] < 4]
+    # every remaining small clump must lack a larger neighbour within threshold
+    for v in small:
+        assert (got == v).sum() < 4  # still small means elimination stalled
+
+
+def test_eliminate_respects_threshold():
+    lab = np.array([[0, 1, 1], [0, 1, 1], [0, 1, 1]], np.int64)
+    lab = np.where(lab == 0, 0, 4)
+    spec = np.where(lab == 0, 10.0, 90.0)
+    # distance 80 > threshold 50: no merge
+    out = eliminate_small_clumps(lab, spec, min_size=4, dist_thres=50.0)
+    assert np.array_equal(out, lab)
+    # raise the threshold: the 3-px clump merges into the 6-px clump
+    out2 = eliminate_small_clumps(lab, spec, min_size=4, dist_thres=100.0)
+    assert (out2 == 4).all()
+
+
+def test_eliminate_background_untouched():
+    lab = np.array([[-1, -1, 2], [3, 3, 2], [3, 3, 2]], np.int64)
+    spec = np.ones(lab.shape)
+    out = eliminate_small_clumps(lab, spec, min_size=4, dist_thres=10.0)
+    assert (out[lab == -1] == -1).all()
+
+
+def test_categorical_clump_labels():
+    cat = np.array([[1, 1, 2], [2, 1, 2], [2, 2, 2]])
+    lab = label_components(np.ones(cat.shape, bool), 4, categories=cat)
+    # three components: {(0,0),(0,1),(1,1)}, {(0,2),(1,2),(2,2),(2,1),(2,0),(1,0)}
+    assert lab[0, 0] == lab[0, 1] == lab[1, 1] == 0
+    assert lab[0, 2] == lab[1, 2] == lab[2, 2] == lab[2, 0] == lab[1, 0] == 2
+    assert len(np.unique(lab)) == 2
+
+
+def test_run_clumps_1d():
+    cat = np.array([[1, 1, 2, 2, 2], [3, 3, 3, 1, 1]])
+    lab = run_clumps_1d(cat)
+    assert lab.tolist() == [[0, 0, 2, 2, 2], [5, 5, 5, 8, 8]]
+
+
+def test_relabel_sequential():
+    lab = np.array([[7, 7, -1], [3, 3, 12]], np.int64)
+    out = relabel_sequential(lab)
+    assert out.tolist() == [[2, 2, 0], [1, 1, 3]]
+
+
+def test_shepherd_end_to_end_deterministic():
+    rng = np.random.RandomState(9)
+    spec = (
+        rng.randint(0, 40, size=(24, 24))
+        + np.repeat(np.repeat(rng.randint(0, 200, size=(3, 3)), 8, 0), 8, 1)
+    ).astype(np.float64)
+    seg1 = shepherd_segment(spec, num_clusters=4, min_size=5, dist_thres=1e9)
+    seg2 = shepherd_segment(spec, num_clusters=4, min_size=5, dist_thres=1e9)
+    assert np.array_equal(seg1, seg2)
+    assert seg1.min() >= 1
+    # every surviving segment either reached min size or stalled without
+    # an admissible (strictly larger) neighbour within threshold
+    sizes = np.bincount(seg1.ravel())[1:]
+    assert sizes.max() >= 5
+    assert seg1.max() < seg1.size  # actually segmented, not all singletons
