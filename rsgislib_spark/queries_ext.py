@@ -569,6 +569,68 @@ def q103_shepherd_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shepherd_segment_images(gi, num_clusters=6, min_size=5, dist_thres=1e9)
 
 
+def q104_accuracy_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classification accuracy assessment
+    (classaccuracymetrics.calc_class_accuracy_metrics:120 +
+    cls_quantity_accuracy:46 — Pontius & Millones Q/A): per-class
+    precision/recall/F1 plus overall accuracy, Cohen's kappa, and
+    quantity/allocation disagreement over a deterministic
+    ref/pred labelling of the point table. Every metric is one division
+    of BIGINT quantities, so the oracle hashes bit-for-bit."""
+    from rsgislib_spark.functions.accuracy import class_accuracy_metrics
+
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark).select(
+        (F.col("pt_id") % 4).alias("ref_cls"),
+        F.when((F.col("pt_id") * 11) % 10 < 6, F.col("pt_id") % 4)
+        .otherwise((F.col("pt_id") * 3) % 4)
+        .alias("pred_cls"),
+    )
+    return class_accuracy_metrics(pts, "ref_cls", "pred_cls")
+
+
+ORACLE_Q104 = _cte("""
+, lab AS (
+  SELECT pt_id % 4 AS ref,
+         CASE WHEN (pt_id * 11) % 10 < 6 THEN pt_id % 4
+              ELSE (pt_id * 3) % 4 END AS pred
+  FROM geo_points
+), cm AS (SELECT ref, pred, COUNT(*) AS n FROM lab GROUP BY 1, 2),
+rowt AS (SELECT ref, SUM(n) AS row_n FROM cm GROUP BY 1),
+colt AS (SELECT pred, SUM(n) AS col_n FROM cm GROUP BY 1),
+diag AS (SELECT ref AS class_id, n AS diag_n FROM cm WHERE ref = pred),
+cls AS (SELECT ref AS class_id FROM rowt UNION SELECT pred FROM colt),
+per AS (
+  SELECT c.class_id,
+         CAST(COALESCE(r.row_n, 0) AS BIGINT) AS support,
+         CAST(COALESCE(co.col_n, 0) AS BIGINT) AS n_pred,
+         CAST(COALESCE(d.diag_n, 0) AS BIGINT) AS n_correct
+  FROM cls c
+  LEFT JOIN rowt r ON r.ref = c.class_id
+  LEFT JOIN colt co ON co.pred = c.class_id
+  LEFT JOIN diag d ON d.class_id = c.class_id
+), tot AS (
+  SELECT CAST(SUM(support) AS BIGINT) AS n,
+         CAST(SUM(n_correct) AS BIGINT) AS sum_diag,
+         CAST(SUM(support * n_pred) AS BIGINT) AS sum_rowcol,
+         CAST(SUM(ABS(support - n_pred)) AS BIGINT) AS sum_absdiff,
+         CAST(SUM(LEAST(support - n_correct, n_pred - n_correct)) AS BIGINT) AS sum_minco
+  FROM per
+)
+SELECT p.class_id, p.support, p.n_pred, p.n_correct,
+       ROUND(CASE WHEN p.n_pred > 0 THEN p.n_correct / p.n_pred ELSE 0.0 END, 6) AS precision,
+       ROUND(CASE WHEN p.support > 0 THEN p.n_correct / p.support ELSE 0.0 END, 6) AS recall,
+       ROUND(CASE WHEN p.support + p.n_pred > 0
+                  THEN 2.0 * p.n_correct / (p.support + p.n_pred) ELSE 0.0 END, 6) AS f1,
+       ROUND(t.sum_diag / t.n, 6) AS overall_accuracy,
+       ROUND((t.n * t.sum_diag - t.sum_rowcol) / (t.n * t.n - t.sum_rowcol), 6) AS cohen_kappa,
+       ROUND(t.sum_absdiff / (2.0 * t.n), 6) AS quantity_dis,
+       ROUND(t.sum_minco / t.n, 6) AS allocation_dis,
+       ROUND(t.sum_diag / t.n, 6) AS proportion_correct
+FROM per p CROSS JOIN tot t
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -3174,6 +3236,7 @@ QUERIES_EXT = {
     "q101_morph_se": q101_morph_se,
     "q102_eliminate_clumps": q102_eliminate_clumps,
     "q103_shepherd_segmentation": q103_shepherd_segmentation,
+    "q104_accuracy_metrics": q104_accuracy_metrics,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -3314,6 +3377,7 @@ ORACLES_EXT = {
     "q100_stat_filters": ORACLE_Q100,
     "q101_morph_se": ORACLE_Q101,
     "q102_eliminate_clumps": ORACLE_Q102,
+    "q104_accuracy_metrics": ORACLE_Q104,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,
