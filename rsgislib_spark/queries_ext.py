@@ -631,6 +631,72 @@ FROM per p CROSS JOIN tot t
 """)
 
 
+def q105_otsu_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image Otsu auto-threshold (tools/stats.calc_otsu_threshold,
+    stats.py:641-676; windowed application calc_split_win_thresholds,
+    imagecalc/__init__.py:1581+). Pixel pass = per-image value
+    histogram (kernel bincount, tiny output); threshold selection =
+    pure-Catalyst window argmax over (c1·c2)·(s1/c1 − s2/c2)² — the
+    identical double expression the oracle evaluates, so the argmax
+    matches bit-for-bit. Value-domain bins (documented deviation from
+    the reference's sqrt-rule approximate binning)."""
+    from rsgislib_spark.functions.thresholds import otsu_threshold_from_histogram
+    from rsgislib_spark.kernels import bands as BK
+
+    load_views(spark, sf_dir)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)).select(
+        "image_key", "w", "h"
+    )
+
+    def _hist(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                v = BK.synth_band_grid(k, w, h, "red")
+                cnt = np.bincount(v.ravel())
+                nz = np.nonzero(cnt)[0]
+                rows.append(
+                    pd.DataFrame({"image_key": k, "v": nz.astype(np.int64),
+                                  "n": cnt[nz].astype(np.int64)})
+                )
+            yield pd.concat(rows, ignore_index=True)
+
+    hist = gi.mapInPandas(_hist, schema="image_key long, v long, n long")
+    return otsu_threshold_from_histogram(hist, ["image_key"])
+
+
+ORACLE_Q105 = _cte(f""",
+px AS MATERIALIZED (
+  SELECT image_key,
+         (image_key * 7 + gx.px * 13 + gy.py * 17) % 251 AS v
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+), hist AS (SELECT image_key, v, COUNT(*) AS n FROM px GROUP BY 1, 2),
+cum AS (
+  SELECT image_key, v,
+         CAST(SUM(n) OVER (PARTITION BY image_key ORDER BY v) AS BIGINT) AS c1,
+         CAST(SUM(n * v) OVER (PARTITION BY image_key ORDER BY v) AS BIGINT) AS s1
+  FROM hist
+), tot AS (SELECT image_key, CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n * v) AS BIGINT) AS st FROM hist GROUP BY 1),
+m AS (
+  SELECT c.image_key, c.v, c.c1, t.nt - c.c1 AS c2, c.s1, t.st - c.s1 AS s2
+  FROM cum c JOIN tot t ON t.image_key = c.image_key
+  WHERE t.nt - c.c1 > 0
+)
+SELECT image_key, v AS thres_v, c1 AS n_lo, c2 AS n_hi FROM (
+  SELECT image_key, v, c1, c2,
+         ROW_NUMBER() OVER (
+           PARTITION BY image_key
+           ORDER BY (c1 * c2) * ((s1 / c1 - s2 / c2) * (s1 / c1 - s2 / c2)) DESC,
+                    v ASC) AS rn
+  FROM m
+) WHERE rn = 1
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -3237,6 +3303,7 @@ QUERIES_EXT = {
     "q102_eliminate_clumps": q102_eliminate_clumps,
     "q103_shepherd_segmentation": q103_shepherd_segmentation,
     "q104_accuracy_metrics": q104_accuracy_metrics,
+    "q105_otsu_threshold": q105_otsu_threshold,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -3378,6 +3445,7 @@ ORACLES_EXT = {
     "q101_morph_se": ORACLE_Q101,
     "q102_eliminate_clumps": ORACLE_Q102,
     "q104_accuracy_metrics": ORACLE_Q104,
+    "q105_otsu_threshold": ORACLE_Q105,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,
