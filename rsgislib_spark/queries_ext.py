@@ -697,6 +697,58 @@ SELECT image_key, v AS thres_v, c1 AS n_lo, c2 AS n_hi FROM (
 """)
 
 
+def q106_spectral_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Savitzky–Golay spectral smoothing (imageutils.spectral_smoothing,
+    imageutils/__init__.py:4088-4180) over a deterministic 10-band
+    stack: per-(image, interior-band) integer SG numerator sums — the
+    central taps (−3,12,17,12,−3)/35 are exact integers, so the oracle
+    evaluates the same lattice dot closed-form."""
+    from rsgislib_spark.kernels.spectral import savgol_numerator
+
+    load_views(spark, sf_dir)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)).select(
+        "image_key", "w", "h"
+    )
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                py, px = np.mgrid[0:h, 0:w]
+                cube = np.stack(
+                    [(k * 7 + px * 13 + py * 17 + b * 19) % 251 for b in range(10)]
+                )
+                num = savgol_numerator(cube, 5, 3)  # bands 2..7
+                for i in range(num.shape[0]):
+                    rows.append((k, i + 2, int(num[i].sum()), int(num[i].size)))
+            yield pd.DataFrame(rows, columns=["image_key", "band", "sg_num", "n_px"])
+
+    out = gi.mapInPandas(
+        _run, schema="image_key long, band long, sg_num long, n_px long"
+    )
+    return out.withColumn(
+        "sg_mean", F.round(F.col("sg_num") / (35.0 * F.col("n_px")), 6)
+    )
+
+
+_SGV = lambda o: f"(image_key * 7 + gx.px * 13 + gy.py * 17 + (b.band + {o}) * 19) % 251"
+ORACLE_Q106 = _cte(f"""
+SELECT image_key, b.band AS band,
+       CAST(SUM(-3 * ({_SGV(-2)}) + 12 * ({_SGV(-1)}) + 17 * ({_SGV(0)})
+              + 12 * ({_SGV(1)}) - 3 * ({_SGV(2)})) AS BIGINT) AS sg_num,
+       COUNT(*) AS n_px,
+       ROUND(CAST(SUM(-3 * ({_SGV(-2)}) + 12 * ({_SGV(-1)}) + 17 * ({_SGV(0)})
+              + 12 * ({_SGV(1)}) - 3 * ({_SGV(2)})) AS BIGINT) / (35.0 * COUNT(*)), 6) AS sg_mean
+FROM geo_images,
+LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy,
+LATERAL (SELECT unnest(generate_series(2, 7)) AS band) b
+WHERE image_key % {FOCAL_SUBSET} = 0
+GROUP BY image_key, b.band
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -3304,6 +3356,7 @@ QUERIES_EXT = {
     "q103_shepherd_segmentation": q103_shepherd_segmentation,
     "q104_accuracy_metrics": q104_accuracy_metrics,
     "q105_otsu_threshold": q105_otsu_threshold,
+    "q106_spectral_smoothing": q106_spectral_smoothing,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -3446,6 +3499,7 @@ ORACLES_EXT = {
     "q102_eliminate_clumps": ORACLE_Q102,
     "q104_accuracy_metrics": ORACLE_Q104,
     "q105_otsu_threshold": ORACLE_Q105,
+    "q106_spectral_smoothing": ORACLE_Q106,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,
