@@ -112,3 +112,66 @@ def sym3_eigenvalues(cov: np.ndarray) -> np.ndarray:
     e1 = q + 2.0 * p * np.cos(phi)
     e3 = q + 2.0 * p * np.cos(phi + 2.0 * np.pi / 3.0)
     return np.array([e1, 3.0 * q - e1 - e3, e3])
+
+
+class MNFModel:
+    def __init__(self, feat_cols, whitening, projection, offset, eigenvalues):
+        self.feat_cols = list(feat_cols)
+        self.whitening = np.asarray(whitening, np.float64)  # Aw (p×p)
+        self.projection = np.asarray(projection, np.float64)  # Aw·Eᵀ combined (p×k)
+        self.offset = np.asarray(offset, np.float64)  # μ_w · Eᵀ (k)
+        self.eigenvalues = np.asarray(eigenvalues, np.float64)
+
+
+def zca_whitening_matrix(cov: np.ndarray) -> np.ndarray:
+    """ZCA whitening Aw = V·S^{-1/2}·Vᵀ from the SVD of the covariance
+    (whiten_image's _whiten, imageutils/__init__.py:3978-4002)."""
+    U, S, Vt = np.linalg.svd(cov)
+    return Vt.T @ np.diag(S ** -0.5) @ Vt
+
+
+def mnf_fit(
+    df: DataFrame,
+    feat_cols: Sequence[str],
+    sample: DataFrame | None = None,
+) -> MNFModel:
+    """Minimum Noise Fraction (perform_image_mnf,
+    imagecalc/__init__.py:708-830): ZCA-whiten with the FULL-data
+    covariance, then PCA on the whitened SAMPLE (the reference's
+    every-Nth-pixel sample; pass the sample DataFrame, default = full
+    df). Both covariances are population (÷n) — documented deviation
+    from the reference's ÷(n−1); the MNF eigenvalues are the
+    generalized eigenvalues of (C_sample, C_full), which is what the
+    q107 oracle evaluates closed-form.
+
+    Distributed shape: two moment-sum aggregations (full + sample);
+    everything else is p×p driver math; apply is Catalyst literals.
+    """
+    _, _, cov_full = covariance_sums(df, feat_cols)
+    aw = zca_whitening_matrix(cov_full)
+    sdf = sample if sample is not None else df
+    _, mean_s, cov_s = covariance_sums(sdf, feat_cols)
+    # whitened-sample covariance = Awᵀ·C_s·Aw (Aw symmetric)
+    cov_w = aw @ cov_s @ aw
+    w, v = np.linalg.eigh(cov_w)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order].T
+    for i in range(v.shape[0]):
+        j = int(np.argmax(np.abs(v[i])))
+        if v[i, j] < 0:
+            v[i] = -v[i]
+    proj = aw @ v.T  # x @ proj = whitened scores before centering
+    offset = (mean_s @ aw) @ v.T
+    return MNFModel(feat_cols, aw, proj, offset, w)
+
+
+def mnf_apply(df: DataFrame, model: MNFModel, prefix: str = "mnf") -> DataFrame:
+    """Append mnf1..mnfK: x·(Aw·Eᵀ) − μ_w·Eᵀ as Catalyst literals."""
+    p, k = model.projection.shape
+    out = df
+    for i in range(k):
+        expr = F.lit(-float(model.offset[i]))
+        for j, c in enumerate(model.feat_cols):
+            expr = expr + F.col(c).cast("double") * F.lit(float(model.projection[j, i]))
+        out = out.withColumn(f"{prefix}{i + 1}", expr)
+    return out

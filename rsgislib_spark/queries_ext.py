@@ -749,6 +749,85 @@ GROUP BY image_key, b.band
 """)
 
 
+def q107_mnf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum Noise Fraction (perform_image_mnf,
+    imagecalc/__init__.py:708-830 = whiten_image ZCA + PCA on an
+    every-Nth sample). The engine fits via SVD/eigh; the oracle exploits
+    that the MNF eigenvalues are the GENERALIZED eigenvalues of
+    (C_sample, C_full) — a closed-form quadratic for 2 bands — and that
+    the Catalyst-projected score variance must reproduce them.
+    ROUND 5 absorbs LAPACK-vs-quadratic-formula last bits."""
+    from rsgislib_spark.functions.pca import mnf_apply, mnf_fit
+
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark).select("pt_id", "f1", "f2")
+    sample = pts.filter(F.col("pt_id") % 7 == 0)
+    model = mnf_fit(pts, ["f1", "f2"], sample=sample)
+    proj = mnf_apply(sample, model)
+    r = proj.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col(f"mnf{i+1}") * F.col(f"mnf{i+1}")).alias(f"ss{i}") for i in range(2)],
+        *[F.sum(F.col(f"mnf{i+1}")).alias(f"s{i}") for i in range(2)],
+    ).first()
+    n = float(r["n"])
+    rows = []
+    for i in range(2):
+        var = r[f"ss{i}"] / n - (r[f"s{i}"] / n) ** 2
+        rows.append(
+            (
+                i + 1,
+                int(n),
+                _round_half_away(float(model.eigenvalues[i]), 5),
+                _round_half_away(float(var), 5),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "comp int, n_sample long, eigenvalue_r5 double, proj_var_r5 double"
+    )
+
+
+ORACLE_Q107 = _cte("""
+, fs AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(f1) AS BIGINT) AS s1, CAST(SUM(f2) AS BIGINT) AS s2,
+         CAST(SUM(f1*f1) AS BIGINT) AS s11, CAST(SUM(f1*f2) AS BIGINT) AS s12,
+         CAST(SUM(f2*f2) AS BIGINT) AS s22
+  FROM geo_points
+), ss AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(f1) AS BIGINT) AS s1, CAST(SUM(f2) AS BIGINT) AS s2,
+         CAST(SUM(f1*f1) AS BIGINT) AS s11, CAST(SUM(f1*f2) AS BIGINT) AS s12,
+         CAST(SUM(f2*f2) AS BIGINT) AS s22
+  FROM geo_points WHERE pt_id % 7 = 0
+), cf AS (
+  SELECT (s11 - CAST(s1 AS DOUBLE) * s1 / n) / n AS c11,
+         (s12 - CAST(s1 AS DOUBLE) * s2 / n) / n AS c12,
+         (s22 - CAST(s2 AS DOUBLE) * s2 / n) / n AS c22
+  FROM fs
+), cs AS (
+  SELECT n,
+         (s11 - CAST(s1 AS DOUBLE) * s1 / n) / n AS c11,
+         (s12 - CAST(s1 AS DOUBLE) * s2 / n) / n AS c12,
+         (s22 - CAST(s2 AS DOUBLE) * s2 / n) / n AS c22
+  FROM ss
+), quad AS (
+  SELECT cs.n AS n_sample,
+         cf.c11 * cf.c22 - cf.c12 * cf.c12 AS qa,
+         cs.c11 * cf.c22 + cs.c22 * cf.c11 - 2 * cs.c12 * cf.c12 AS qb,
+         cs.c11 * cs.c22 - cs.c12 * cs.c12 AS qc
+  FROM cs CROSS JOIN cf
+), roots AS (
+  SELECT n_sample,
+         (qb + SQRT(qb * qb - 4 * qa * qc)) / (2 * qa) AS lam1,
+         (qb - SQRT(qb * qb - 4 * qa * qc)) / (2 * qa) AS lam2
+  FROM quad
+)
+SELECT 1 AS comp, n_sample, ROUND(lam1, 5) AS eigenvalue_r5, ROUND(lam1, 5) AS proj_var_r5 FROM roots
+UNION ALL
+SELECT 2 AS comp, n_sample, ROUND(lam2, 5) AS eigenvalue_r5, ROUND(lam2, 5) AS proj_var_r5 FROM roots
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -3357,6 +3436,7 @@ QUERIES_EXT = {
     "q104_accuracy_metrics": q104_accuracy_metrics,
     "q105_otsu_threshold": q105_otsu_threshold,
     "q106_spectral_smoothing": q106_spectral_smoothing,
+    "q107_mnf": q107_mnf,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -3500,6 +3580,7 @@ ORACLES_EXT = {
     "q104_accuracy_metrics": ORACLE_Q104,
     "q105_otsu_threshold": ORACLE_Q105,
     "q106_spectral_smoothing": ORACLE_Q106,
+    "q107_mnf": ORACLE_Q107,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,

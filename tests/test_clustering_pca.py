@@ -118,3 +118,38 @@ def test_sym3_closed_form_matches_lapack():
         got = sym3_eigenvalues(S)
         want = np.sort(np.linalg.eigvalsh(S))[::-1]
         assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
+
+
+def test_mnf_fit_apply(spark):
+    import numpy as np
+    import pandas as pd
+    from rsgislib_spark.functions.pca import mnf_apply, mnf_fit, zca_whitening_matrix
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(400, 2) @ np.array([[3.0, 1.0], [0.0, 2.0]])
+    pdf = pd.DataFrame({"pt_id": np.arange(400), "f1": base[:, 0], "f2": base[:, 1]})
+    df = spark.createDataFrame(pdf)
+    sample = df.filter("pt_id % 3 = 0")
+    model = mnf_fit(df, ["f1", "f2"], sample=sample)
+
+    # eigenvalues == generalized eigenvalues of (C_sample, C_full)
+    def popcov(a):
+        a = a - a.mean(0)
+        return a.T @ a / len(a)
+
+    cf = popcov(base)
+    cs = popcov(base[::3])
+    lam = np.sort(np.linalg.eigvals(np.linalg.inv(cf) @ cs).real)[::-1]
+    assert np.allclose(model.eigenvalues, lam, atol=1e-9)
+
+    # Catalyst-projected sample scores reproduce the eigenvalues
+    proj = mnf_apply(sample, model).toPandas()
+    for i, ev in enumerate(model.eigenvalues):
+        v = proj[f"mnf{i+1}"].to_numpy()
+        assert np.isclose(v.var(), ev, atol=1e-8)
+    # components are decorrelated
+    assert abs(np.cov(proj["mnf1"], proj["mnf2"], bias=True)[0, 1]) < 1e-8
+
+    # whitening the full data gives unit covariance
+    aw = zca_whitening_matrix(cf)
+    assert np.allclose(aw @ cf @ aw, np.eye(2), atol=1e-10)
