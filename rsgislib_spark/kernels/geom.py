@@ -437,3 +437,30 @@ def wkb_to_parts(buf: bytes):
             parts.append(rings)
         return parts
     raise ValueError(f"unsupported wkb geometry type {gtype}")
+
+
+def poly_hole_area(rings) -> float:
+    """Total area of interior rings (get_poly_hole_area,
+    vectorgeoms/__init__.py)."""
+    total = 0.0
+    for ring in rings[1:]:
+        r = np.asarray(ring, dtype=np.float64)
+        x, y = r[:, 0], r[:, 1]
+        total += 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    return total
+
+
+def drop_holes(rings, area_thres: float | None = None):
+    """Remove interior rings (delete_polygon_holes,
+    vectorgeoms/__init__.py); with ``area_thres`` only holes smaller
+    than the threshold are removed."""
+    if area_thres is None:
+        return rings[:1]
+    kept = [rings[0]]
+    for ring in rings[1:]:
+        r = np.asarray(ring, dtype=np.float64)
+        x, y = r[:, 0], r[:, 1]
+        a = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+        if a >= area_thres:
+            kept.append(ring)
+    return kept

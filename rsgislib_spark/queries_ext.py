@@ -828,6 +828,156 @@ SELECT 2 AS comp, n_sample, ROUND(lam2, 5) AS eigenvalue_r5, ROUND(lam2, 5) AS p
 """)
 
 
+def q108_line_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-geometry family (vectorgeoms get_pt_on_line:154,
+    find_pt_to_side:206, closest_line_intersection): per zone, walk 100
+    units along the bbox diagonal, project a right-hand orthogonal point
+    50 units off the line, and intersect the diagonal with the
+    horizontal midline. Vector-algebra forms (sqrt-only — documented
+    deviation from the reference's atan/sin/cos quadrant cases, tested
+    equivalent in tests/test_lines.py); the oracle evaluates the
+    identical expressions."""
+    from rsgislib_spark.kernels import lines as LK
+
+    load_views(spark, sf_dir)
+    z = _geo_zones(spark).select("zone_id", "minx", "miny", "maxx", "maxy")
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            x1 = pdf["minx"].to_numpy(np.float64)
+            y1 = pdf["miny"].to_numpy(np.float64)
+            x2 = pdf["maxx"].to_numpy(np.float64)
+            y2 = pdf["maxy"].to_numpy(np.float64)
+            px, py = LK.pt_on_line(x1, y1, x2, y2, 100.0)
+            ox, oy = LK.pt_to_side(x1, y1, px, py, x2, y2, 50.0)
+            ymid = (y1 + y2) / 2.0
+            hit, t, ix, iy = LK.segment_intersection(
+                x1, y1, x2, y2, x1, ymid, x2, ymid
+            )
+            yield pd.DataFrame(
+                {
+                    "zone_id": pdf["zone_id"].to_numpy(np.int64),
+                    "pt_x": np.round(px, 6), "pt_y": np.round(py, 6),
+                    "orth_x": np.round(ox, 6), "orth_y": np.round(oy, 6),
+                    "cross_hit": hit.astype(np.int64),
+                    "cross_x": np.round(ix, 6), "cross_y": np.round(iy, 6),
+                }
+            )
+
+    return widen(z).mapInPandas(
+        _run,
+        schema="zone_id long, pt_x double, pt_y double, orth_x double, "
+        "orth_y double, cross_hit long, cross_x double, cross_y double",
+    )
+
+
+ORACLE_Q108 = _cte("""
+, g AS (
+  SELECT zone_id, minx, miny, maxx, maxy,
+         maxx - minx AS dx, maxy - miny AS dy,
+         SQRT((maxx - minx) * (maxx - minx) + (maxy - miny) * (maxy - miny)) AS ln,
+         (miny + maxy) / 2.0 AS ymid
+  FROM geo_zones
+), p AS (
+  SELECT zone_id, minx, miny, maxx, maxy, dx, dy, ln, ymid,
+         minx + 100.0 * (dx / ln) AS pt_x,
+         miny + 100.0 * (dy / ln) AS pt_y
+  FROM g
+), ix AS (
+  SELECT *,
+         -- segment_intersection of diagonal with the horizontal midline:
+         -- r=(dx,dy), s=(dx,0), qp=(0, ymid-miny)
+         (dx * (ymid - ymid) - dy * (maxx - minx)) AS denom,
+         ((minx - minx) * (ymid - ymid) - (ymid - miny) * (maxx - minx)) AS tnum
+  FROM p
+)
+SELECT zone_id,
+       ROUND(pt_x, 6) AS pt_x, ROUND(pt_y, 6) AS pt_y,
+       ROUND(pt_x + 50.0 * (dy / ln), 6) AS orth_x,
+       ROUND(pt_y + 50.0 * (-dx / ln), 6) AS orth_y,
+       CASE WHEN denom != 0 AND tnum / denom BETWEEN 0 AND 1 THEN 1 ELSE 0 END AS cross_hit,
+       ROUND(minx + (tnum / denom) * dx, 6) AS cross_x,
+       ROUND(miny + (tnum / denom) * dy, 6) AS cross_y
+FROM ix
+""")
+
+
+def q109_poly_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon hole handling (get_poly_hole_area, delete_polygon_holes,
+    calc_poly_centroids — vectorgeoms/__init__.py): each zone becomes a
+    2-ring WKB polygon (shell + 25%-inset hole); the kernel round-trips
+    WKB, computes shoelace net/hole areas, the shell centroid, and the
+    hole-dropped area. Areas are exact in float64 (all shoelace terms
+    are 1/16-granular below 2^53); the centroid's >2^53 intermediate
+    sums are order-replicated term-by-term in the oracle."""
+    from rsgislib_spark.kernels import geom as GK
+
+    load_views(spark, sf_dir)
+    z = _geo_zones(spark).select("zone_id", "minx", "miny", "maxx", "maxy")
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                x1, y1, x2, y2 = float(rec.minx), float(rec.miny), float(rec.maxx), float(rec.maxy)
+                dx, dy = x2 - x1, y2 - y1
+                shell = np.array([[x1, y1], [x2, y1], [x2, y2], [x1, y2]])
+                hole = np.array(
+                    [
+                        [x1 + dx / 4.0, y1 + dy / 4.0],
+                        [x2 - dx / 4.0, y1 + dy / 4.0],
+                        [x2 - dx / 4.0, y2 - dy / 4.0],
+                        [x1 + dx / 4.0, y2 - dy / 4.0],
+                    ]
+                )
+                rings = GK.wkb_to_polygon(GK.polygon_to_wkb([shell, hole]))
+                cx, cy = GK.polygon_centroid(rings)
+                rows.append(
+                    (
+                        int(rec.zone_id),
+                        GK.polygon_area(GK.drop_holes(rings)),
+                        GK.poly_hole_area(rings),
+                        GK.polygon_area(rings),
+                        round(cx, 6),
+                        round(cy, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["zone_id", "outer_area", "hole_area", "net_area", "cx", "cy"],
+            )
+
+    return widen(z).mapInPandas(
+        _run,
+        schema="zone_id long, outer_area double, hole_area double, "
+        "net_area double, cx double, cy double",
+    )
+
+
+ORACLE_Q109 = _cte("""
+, g AS (
+  SELECT zone_id, minx, miny, maxx, maxy,
+         maxx - minx AS dx, maxy - miny AS dy,
+         minx * miny - maxx * miny AS c0,
+         maxx * maxy - maxx * miny AS c1,
+         maxx * maxy - minx * maxy AS c2,
+         minx * miny - minx * maxy AS c3
+  FROM geo_zones
+), a AS (
+  SELECT *, (c0 + c1 + c2 + c3) / 2.0 AS shoelace_a FROM g
+)
+SELECT zone_id,
+       dx * dy AS outer_area,
+       (dx / 2.0) * (dy / 2.0) AS hole_area,
+       dx * dy - (dx / 2.0) * (dy / 2.0) AS net_area,
+       ROUND(((minx + maxx) * c0 + (maxx + maxx) * c1 + (maxx + minx) * c2
+              + (minx + minx) * c3) / (6.0 * shoelace_a), 6) AS cx,
+       ROUND(((miny + miny) * c0 + (miny + maxy) * c1 + (maxy + maxy) * c2
+              + (maxy + miny) * c3) / (6.0 * shoelace_a), 6) AS cy
+FROM a
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -3437,6 +3587,8 @@ QUERIES_EXT = {
     "q105_otsu_threshold": q105_otsu_threshold,
     "q106_spectral_smoothing": q106_spectral_smoothing,
     "q107_mnf": q107_mnf,
+    "q108_line_ops": q108_line_ops,
+    "q109_poly_holes": q109_poly_holes,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -3581,6 +3733,8 @@ ORACLES_EXT = {
     "q105_otsu_threshold": ORACLE_Q105,
     "q106_spectral_smoothing": ORACLE_Q106,
     "q107_mnf": ORACLE_Q107,
+    "q108_line_ops": ORACLE_Q108,
+    "q109_poly_holes": ORACLE_Q109,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,
