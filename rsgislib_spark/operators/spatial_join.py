@@ -89,10 +89,9 @@ def _pairs_df(images: DataFrame, zindex_b, join_op: str, id_col: str) -> DataFra
     skinny (id, bbox) projection is repartitioned up to the default
     parallelism first. The shuffled rows are ~40 bytes each, so this
     costs microseconds per thousand images and buys full-width refine."""
-    slim = images.select(id_col, "minx", "miny", "maxx", "maxy")
-    par = images.sparkSession.sparkContext.defaultParallelism
-    if slim.rdd.getNumPartitions() < par:
-        slim = slim.repartition(par)
+    from rsgislib_spark.qcommon import widen
+
+    slim = widen(images.select(id_col, "minx", "miny", "maxx", "maxy"))
     id_type = dict(images.dtypes)[id_col]
     schema = f"{id_col} {id_type}, zone_id long"
 

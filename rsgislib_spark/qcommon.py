@@ -35,15 +35,34 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's estimated size of the plan's output, WITHOUT
+    triggering the RDD conversion that ``df.rdd.getNumPartitions()``
+    costs (it re-analyzes and plans the query on the driver)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def widen(df: DataFrame) -> DataFrame:
     """Repartition a THIN DataFrame up to the default parallelism.
 
     Heavy per-row kernels (mapInPandas pixel work) inherit the scan's
     partition count; a small parquet file arrives in 1-2 partitions and
     serializes the kernel on 1-2 cores. Rows fed to these kernels are
-    skinny (keys + dims), so the widening shuffle is ~free. At real
-    scale the scan is already wide and this is a no-op."""
+    skinny (keys + dims), so the widening shuffle is ~free.
+
+    Thinness is decided from Catalyst's size estimate (cheap driver
+    call, no RDD conversion): anything under ~4 MB/core would scan in
+    fewer partitions than cores. At real scale the estimate is huge and
+    this is a no-op."""
     par = df.sparkSession.sparkContext.defaultParallelism
+    size = plan_size_bytes(df)
+    if size is not None:
+        if size < par * 4 * 1024 * 1024:
+            return df.repartition(par)
+        return df
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
