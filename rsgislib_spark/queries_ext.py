@@ -978,6 +978,88 @@ FROM a
 """)
 
 
+def q110_warp_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine warp fit from tie points (imageregistration GCP →
+    polynomial warp, order 1; tie-point generation itself is q66).
+    Deterministic tie points: an affine transform of the point table
+    plus lattice noise — every moment sum is an exact multiple of 1/16
+    below 2^53, so Spark's partial aggregation is order-free exact and
+    the oracle replays the cofactor solve and moment-sum SSE
+    expression-for-expression."""
+    from rsgislib_spark.functions.warpfit import affine_fit
+
+    load_views(spark, sf_dir)
+    p = _geo_points(spark).select(
+        "pt_id", "x", "y",
+        (F.lit(12.25) + 1.25 * F.col("x") + 0.5 * F.col("y")
+         + ((F.col("pt_id") * 7) % 11 - 5) * 0.25).alias("tx"),
+        (F.lit(-8.5) + 0.75 * F.col("y") - 0.25 * F.col("x")
+         + ((F.col("pt_id") * 13) % 9 - 4) * 0.25).alias("ty"),
+    )
+    m = affine_fit(p, "x", "y", "tx", "ty")
+    row = (
+        m.n,
+        *[_round_half_away(v, 6) for v in m.a],
+        *[_round_half_away(v, 6) for v in m.b],
+        _round_half_away(m.rmse_x, 6),
+        _round_half_away(m.rmse_y, 6),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n long, a0 double, a1 double, a2 double, "
+        "b0 double, b1 double, b2 double, rmse_x double, rmse_y double",
+    )
+
+
+ORACLE_Q110 = _cte("""
+, tp AS (
+  SELECT x, y,
+         12.25 + 1.25 * x + 0.5 * y + ((pt_id * 7) % 11 - 5) * 0.25 AS tx,
+         -8.5 + 0.75 * y - 0.25 * x + ((pt_id * 13) % 9 - 4) * 0.25 AS ty
+  FROM geo_points
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy,
+         SUM(tx) AS stx, SUM(ty) AS sty,
+         SUM(x * tx) AS sxtx, SUM(y * tx) AS sytx,
+         SUM(x * ty) AS sxty, SUM(y * ty) AS syty,
+         SUM(tx * tx) AS stxtx, SUM(ty * ty) AS styty
+  FROM tp
+), d AS (
+  SELECT *,
+         n * (sxx * syy - sxy * sxy) - sx * (sx * syy - sxy * sy)
+           + sy * (sx * sxy - sxx * sy) AS det
+  FROM m
+), coef AS (
+  SELECT *,
+    (stx * (sxx * syy - sxy * sxy) - sx * (sxtx * syy - sxy * sytx)
+       + sy * (sxtx * sxy - sxx * sytx)) / det AS a0,
+    (n * (sxtx * syy - sxy * sytx) - stx * (sx * syy - sxy * sy)
+       + sy * (sx * sytx - sxtx * sy)) / det AS a1,
+    (n * (sxx * sytx - sxtx * sxy) - sx * (sx * sytx - sxtx * sy)
+       + stx * (sx * sxy - sxx * sy)) / det AS a2,
+    (sty * (sxx * syy - sxy * sxy) - sx * (sxty * syy - sxy * syty)
+       + sy * (sxty * sxy - sxx * syty)) / det AS b0,
+    (n * (sxty * syy - sxy * syty) - sty * (sx * syy - sxy * sy)
+       + sy * (sx * syty - sxty * sy)) / det AS b1,
+    (n * (sxx * syty - sxty * sxy) - sx * (sx * syty - sxty * sy)
+       + sty * (sx * sxy - sxx * sy)) / det AS b2
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(a0, 6) AS a0, ROUND(a1, 6) AS a1, ROUND(a2, 6) AS a2,
+       ROUND(b0, 6) AS b0, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+       ROUND(SQRT(GREATEST(stxtx - 2.0 * (a0 * stx + a1 * sxtx + a2 * sytx)
+         + (a0 * a0 * n + a1 * a1 * sxx + a2 * a2 * syy
+            + 2.0 * (a0 * a1 * sx + a0 * a2 * sy + a1 * a2 * sxy)), 0.0) / n), 6) AS rmse_x,
+       ROUND(SQRT(GREATEST(styty - 2.0 * (b0 * sty + b1 * sxty + b2 * syty)
+         + (b0 * b0 * n + b1 * b1 * sxx + b2 * b2 * syy
+            + 2.0 * (b0 * b1 * sx + b0 * b2 * sy + b1 * b2 * sxy)), 0.0) / n), 6) AS rmse_y
+FROM coef
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -3589,6 +3671,7 @@ QUERIES_EXT = {
     "q107_mnf": q107_mnf,
     "q108_line_ops": q108_line_ops,
     "q109_poly_holes": q109_poly_holes,
+    "q110_warp_fit": q110_warp_fit,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -3735,6 +3818,7 @@ ORACLES_EXT = {
     "q107_mnf": ORACLE_Q107,
     "q108_line_ops": ORACLE_Q108,
     "q109_poly_holes": ORACLE_Q109,
+    "q110_warp_fit": ORACLE_Q110,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,
