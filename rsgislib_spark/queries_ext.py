@@ -1060,6 +1060,73 @@ FROM coef
 """)
 
 
+def q111_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-imbalance correction (classimblearn
+    random_undersample_smpls:230 / rand_oversample_smpls:102):
+    deterministic hash-ranked undersample-to-minority and
+    oversample-to-majority over a skewed 6:3:1 labelling. Identity sums
+    over the kept/replicated rows pin the exact selection, which the
+    oracle replays with the same md5 ranking."""
+    from rsgislib_spark.functions.sampling import (
+        oversample_balanced,
+        undersample_balanced,
+    )
+
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark).select(
+        "pt_id",
+        F.when(F.col("pt_id") % 10 < 6, 0)
+        .when(F.col("pt_id") % 10 < 9, 1)
+        .otherwise(2)
+        .alias("cls"),
+    )
+    under = undersample_balanced(pts, "cls", F.col("pt_id"))
+    over = oversample_balanced(pts, "cls", F.col("pt_id"))
+    a = pts.groupBy("cls").agg(F.count("*").alias("n_before"))
+    u = under.groupBy("cls").agg(
+        F.count("*").alias("n_under"),
+        F.sum("pt_id").alias("sum_under_ids"),
+    )
+    o = over.groupBy("cls").agg(
+        F.count("*").alias("n_over"),
+        F.sum("pt_id").alias("sum_over_ids"),
+    )
+    return a.join(u, "cls").join(o, "cls")
+
+
+ORACLE_Q111 = _cte("""
+, lab AS (
+  SELECT pt_id,
+         CASE WHEN pt_id % 10 < 6 THEN 0
+              WHEN pt_id % 10 < 9 THEN 1 ELSE 2 END AS cls
+  FROM geo_points
+), ranked AS (
+  SELECT pt_id, cls,
+         ROW_NUMBER() OVER (PARTITION BY cls
+                            ORDER BY md5(CAST(pt_id AS VARCHAR)), pt_id) AS rk
+  FROM lab
+), counts AS (SELECT cls, COUNT(*) AS n FROM lab GROUP BY 1),
+mn AS (SELECT MIN(n) AS mn FROM counts),
+mx AS (SELECT MAX(n) AS mx FROM counts),
+under AS (
+  SELECT r.cls, COUNT(*) AS n_under, CAST(SUM(r.pt_id) AS BIGINT) AS sum_under_ids
+  FROM ranked r CROSS JOIN mn WHERE r.rk <= mn.mn GROUP BY r.cls
+), reps AS (
+  SELECT r.cls, r.pt_id,
+         mx.mx // c.n + CASE WHEN r.rk <= mx.mx % c.n THEN 1 ELSE 0 END AS nrep
+  FROM ranked r
+  JOIN counts c ON c.cls = r.cls
+  CROSS JOIN mx
+), over_t AS (
+  SELECT cls, CAST(SUM(nrep) AS BIGINT) AS n_over,
+         CAST(SUM(pt_id * nrep) AS BIGINT) AS sum_over_ids
+  FROM reps GROUP BY cls
+)
+SELECT c.cls, c.n AS n_before, u.n_under, u.sum_under_ids, o.n_over, o.sum_over_ids
+FROM counts c JOIN under u ON u.cls = c.cls JOIN over_t o ON o.cls = c.cls
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -3672,6 +3739,7 @@ QUERIES_EXT = {
     "q108_line_ops": q108_line_ops,
     "q109_poly_holes": q109_poly_holes,
     "q110_warp_fit": q110_warp_fit,
+    "q111_class_balance": q111_class_balance,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -3819,6 +3887,7 @@ ORACLES_EXT = {
     "q108_line_ops": ORACLE_Q108,
     "q109_poly_holes": ORACLE_Q109,
     "q110_warp_fit": ORACLE_Q110,
+    "q111_class_balance": ORACLE_Q111,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,
