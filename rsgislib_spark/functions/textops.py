@@ -85,3 +85,50 @@ def fingerprint(text: Column) -> Column:
         F.regexp_replace(F.lower(text), r"[.,;:!?]", ""), r"\s+", " "
     )
     return F.md5(F.trim(norm))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021
+    §A1.1 repetition filters; beyond the reference — training-data
+    quality family): duplicate-word fraction and the fraction of the
+    document covered by its most frequent word bigram (ties resolved
+    lexicographically).
+
+    Plan: split → posexplode → windowed LEAD bigram → two per-doc
+    aggregations. Everything is JVM-side Catalyst; the only shuffles are
+    on the document id, and the per-doc state is O(distinct bigrams).
+    """
+    from pyspark.sql import Window as W
+
+    words = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
+    )
+    base = words.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    lead = words.withColumn(
+        "w2", F.lead("w").over(W.partitionBy(id_col).orderBy("pos"))
+    ).filter(F.col("w2").isNotNull())
+    big = lead.groupBy(id_col, "w", "w2").agg(F.count("*").alias("n"))
+    top = (
+        big.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(id_col).orderBy(F.desc("n"), F.asc("w"), F.asc("w2"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("n").alias("top_bigram_n"))
+    )
+    return (
+        base.join(top, id_col)
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias("dup_word_frac"),
+            "top_bigram_n",
+            F.round(F.col("top_bigram_n") / (F.col("n_words") - 1), 6).alias("top_bigram_frac"),
+        )
+    )

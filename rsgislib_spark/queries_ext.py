@@ -1127,6 +1127,46 @@ FROM counts c JOIN under u ON u.cls = c.cls JOIN over_t o ON o.cls = c.cls
 """)
 
 
+def q112_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1;
+    training-data family beyond the reference): per-document duplicate-
+    word fraction and top-bigram coverage, all JVM-side Catalyst
+    (split → posexplode → LEAD window → two doc-key aggregations)."""
+    from rsgislib_spark.functions.textops import repetition_stats
+
+    load_views(spark, sf_dir)
+    return repetition_stats(spark.table("documents"), "text", "doc_id")
+
+
+ORACLE_Q112 = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), words AS (
+  SELECT doc_id, ws[i.i] AS w, i.i AS pos
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) i
+), base AS (
+  SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT w) AS n_distinct
+  FROM words GROUP BY 1
+), lead_w AS (
+  SELECT doc_id, w, LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM words
+), big AS (
+  SELECT doc_id, w, w2, COUNT(*) AS n FROM lead_w WHERE w2 IS NOT NULL GROUP BY 1, 2, 3
+), top AS (
+  SELECT doc_id, n AS top_bigram_n FROM (
+    SELECT doc_id, n,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, w ASC, w2 ASC) AS rn
+    FROM big
+  ) WHERE rn = 1
+)
+SELECT b.doc_id, b.n_words, b.n_distinct,
+       ROUND(1.0 - b.n_distinct / b.n_words, 6) AS dup_word_frac,
+       t.top_bigram_n,
+       ROUND(t.top_bigram_n / (b.n_words - 1), 6) AS top_bigram_frac
+FROM base b JOIN top t USING (doc_id)
+"""
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -3740,6 +3780,7 @@ QUERIES_EXT = {
     "q109_poly_holes": q109_poly_holes,
     "q110_warp_fit": q110_warp_fit,
     "q111_class_balance": q111_class_balance,
+    "q112_repetition_stats": q112_repetition_stats,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -3888,6 +3929,7 @@ ORACLES_EXT = {
     "q109_poly_holes": ORACLE_Q109,
     "q110_warp_fit": ORACLE_Q110,
     "q111_class_balance": ORACLE_Q111,
+    "q112_repetition_stats": ORACLE_Q112,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,
