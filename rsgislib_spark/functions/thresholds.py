@@ -80,3 +80,23 @@ def otsu_threshold(
     return otsu_threshold_from_histogram(
         value_histogram(df, value_col, group_cols), group_cols
     )
+
+
+def otsu_outliers(
+    df: DataFrame, value_col: str, group_cols: list[str], low_tail: bool = True
+) -> DataFrame:
+    """Per-group Otsu outlier flagging (changedetect
+    find_class_otsu_outliers, pxloutlierchng.py:344-433): each group
+    (class) gets its own Otsu threshold; rows strictly beyond it on the
+    chosen tail are flagged 2 ('chng'), the rest 1 ('no_chng') — the
+    reference's band-math encoding. One histogram shuffle + a tiny
+    broadcast join back."""
+    thres = otsu_threshold(df, value_col, group_cols).select(
+        *group_cols, "thres_v"
+    )
+    v = F.col(value_col)
+    flag = (
+        F.when(v < F.col("thres_v"), F.lit(2)) if low_tail
+        else F.when(v > F.col("thres_v"), F.lit(2))
+    ).otherwise(F.lit(1))
+    return df.join(F.broadcast(thres), group_cols).withColumn("chng_cls", flag)

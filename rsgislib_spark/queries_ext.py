@@ -1167,6 +1167,59 @@ FROM base b JOIN top t USING (doc_id)
 """
 
 
+def q113_otsu_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class Otsu outlier change detection (changedetect
+    find_class_otsu_outliers, pxloutlierchng.py:344-433): each class
+    thresholds its own value histogram; values strictly below the
+    class threshold are flagged 'chng' (2). Rolled up per class; the
+    oracle replays the q105 argmax per group plus the flag counts."""
+    from rsgislib_spark.functions.thresholds import otsu_outliers
+
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark).select(
+        "pt_id", (F.col("pt_id") % 4).alias("cls"), F.col("v").cast("long").alias("v")
+    )
+    flagged = otsu_outliers(pts, "v", ["cls"], low_tail=True)
+    return flagged.groupBy("cls").agg(
+        F.min("thres_v").alias("thres_v"),
+        F.count("*").alias("n_in_class"),
+        F.sum(F.when(F.col("chng_cls") == 2, 1).otherwise(0)).alias("n_chng"),
+        F.sum(F.when(F.col("chng_cls") == 2, F.col("pt_id")).otherwise(0)).alias("sum_chng_ids"),
+    )
+
+
+ORACLE_Q113 = _cte("""
+, pts AS (
+  SELECT pt_id, pt_id % 4 AS cls, CAST(v AS BIGINT) AS v FROM geo_points
+), hist AS (SELECT cls, v, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+cum AS (
+  SELECT cls, v,
+         CAST(SUM(n) OVER (PARTITION BY cls ORDER BY v) AS BIGINT) AS c1,
+         CAST(SUM(n * v) OVER (PARTITION BY cls ORDER BY v) AS BIGINT) AS s1
+  FROM hist
+), tot AS (SELECT cls, CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n * v) AS BIGINT) AS st FROM hist GROUP BY 1),
+m AS (
+  SELECT c.cls, c.v, c.c1, t.nt - c.c1 AS c2, c.s1, t.st - c.s1 AS s2
+  FROM cum c JOIN tot t ON t.cls = c.cls WHERE t.nt - c.c1 > 0
+), th AS (
+  SELECT cls, v AS thres_v FROM (
+    SELECT cls, v,
+           ROW_NUMBER() OVER (
+             PARTITION BY cls
+             ORDER BY (c1 * c2) * ((s1 / c1 - s2 / c2) * (s1 / c1 - s2 / c2)) DESC,
+                      v ASC) AS rn
+    FROM m
+  ) WHERE rn = 1
+)
+SELECT p.cls, MIN(t.thres_v) AS thres_v,
+       COUNT(*) AS n_in_class,
+       CAST(SUM(CASE WHEN p.v < t.thres_v THEN 1 ELSE 0 END) AS BIGINT) AS n_chng,
+       CAST(SUM(CASE WHEN p.v < t.thres_v THEN p.pt_id ELSE 0 END) AS BIGINT) AS sum_chng_ids
+FROM pts p JOIN th t ON t.cls = p.cls
+GROUP BY p.cls
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -3781,6 +3834,7 @@ QUERIES_EXT = {
     "q110_warp_fit": q110_warp_fit,
     "q111_class_balance": q111_class_balance,
     "q112_repetition_stats": q112_repetition_stats,
+    "q113_otsu_outliers": q113_otsu_outliers,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -3930,6 +3984,7 @@ ORACLES_EXT = {
     "q110_warp_fit": ORACLE_Q110,
     "q111_class_balance": ORACLE_Q111,
     "q112_repetition_stats": ORACLE_Q112,
+    "q113_otsu_outliers": ORACLE_Q113,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,

@@ -51,3 +51,20 @@ def test_otsu_per_group(spark):
         assert out.loc[g, "thres_v"] == numpy_otsu(sub)
     # threshold separates the modes
     assert (out.thres_v.between(35, 150)).all()
+
+
+def test_otsu_outliers_flags(spark):
+    import pandas as pd
+    from rsgislib_spark.functions.thresholds import otsu_outliers
+
+    rng = np.random.RandomState(1)
+    vals = np.concatenate([rng.randint(0, 30, 50), rng.randint(150, 250, 150)])
+    df = spark.createDataFrame(pd.DataFrame({"g": 0, "v": vals}))
+    out = otsu_outliers(df, "v", ["g"], low_tail=True).toPandas()
+    t = out.thres_v.iloc[0]
+    assert t == numpy_otsu(vals)
+    # low-tail: exactly the values strictly below the threshold flagged 2
+    assert set(out[out.chng_cls == 2].v) == set(vals[vals < t])
+    assert (out[out.v >= t].chng_cls == 1).all()
+    hi = otsu_outliers(df, "v", ["g"], low_tail=False).toPandas()
+    assert set(hi[hi.chng_cls == 2].v) == set(vals[vals > t])
