@@ -1220,6 +1220,80 @@ GROUP BY p.cls
 """)
 
 
+def q114_kfold_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-fold cross-validated OLS (regresssklearn.perform_kfold_fit
+    :213-335 metrics; tools/stats.bias_score:1016): 4 hash folds, each
+    fold's model trained on the COMPLEMENT via moment-sum subtraction —
+    k models + all per-fold metrics from ONE scan. The oracle replays
+    fold assignment, the cofactor solve, and every metric formula; the
+    lattice target keeps all sums float64-exact. ROUND 6."""
+    from rsgislib_spark.functions.regression import kfold_ols_metrics
+
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark).select(
+        "pt_id", "f1", "f2",
+        (F.lit(7.25) + 0.5 * F.col("f1") - 0.25 * F.col("f2")
+         + ((F.col("pt_id") * 11) % 13 - 6) * 0.25).alias("t"),
+    )
+    out = kfold_ols_metrics(pts, ["f1", "f2"], "t", F.col("pt_id"), k=4)
+    rc = [c for c in out.columns if c not in ("fold", "n_test")]
+    return out.select("fold", "n_test", *[F.round(F.col(c), 6).alias(c) for c in rc])
+
+
+ORACLE_Q114 = _cte("""
+, tp AS (
+  SELECT pt_id, f1, f2,
+         7.25 + 0.5 * f1 - 0.25 * f2 + ((pt_id * 11) % 13 - 6) * 0.25 AS t,
+         CAST(('0x' || substr(md5(CAST(pt_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 AS fold
+  FROM geo_points
+), fm AS (
+  SELECT fold, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CAST(f1 AS DOUBLE)) AS sx, SUM(CAST(f2 AS DOUBLE)) AS sy,
+         SUM(CAST(f1 AS DOUBLE) * f1) AS sxx, SUM(CAST(f1 AS DOUBLE) * f2) AS sxy,
+         SUM(CAST(f2 AS DOUBLE) * f2) AS syy,
+         SUM(t) AS st, SUM(f1 * t) AS sxt, SUM(f2 * t) AS syt, SUM(t * t) AS stt
+  FROM tp GROUP BY 1
+), cm AS (
+  SELECT fold, n, sx, sy, sxx, sxy, syy, st, sxt, syt, stt,
+         SUM(n) OVER () - n AS tn, SUM(sx) OVER () - sx AS tsx,
+         SUM(sy) OVER () - sy AS tsy, SUM(sxx) OVER () - sxx AS tsxx,
+         SUM(sxy) OVER () - sxy AS tsxy, SUM(syy) OVER () - syy AS tsyy,
+         SUM(st) OVER () - st AS tst, SUM(sxt) OVER () - sxt AS tsxt,
+         SUM(syt) OVER () - syt AS tsyt
+  FROM fm
+), dd AS (
+  SELECT *,
+         tn * (tsxx * tsyy - tsxy * tsxy) - tsx * (tsx * tsyy - tsxy * tsy)
+           + tsy * (tsx * tsxy - tsxx * tsy) AS det
+  FROM cm
+), coef AS (
+  SELECT *,
+    (tst * (tsxx * tsyy - tsxy * tsxy) - tsx * (tsxt * tsyy - tsxy * tsyt)
+       + tsy * (tsxt * tsxy - tsxx * tsyt)) / det AS a0,
+    (tn * (tsxt * tsyy - tsxy * tsyt) - tst * (tsx * tsyy - tsxy * tsy)
+       + tsy * (tsx * tsyt - tsxt * tsy)) / det AS a1,
+    (tn * (tsxx * tsyt - tsxt * tsxy) - tsx * (tsx * tsyt - tsxt * tsy)
+       + tst * (tsx * tsxy - tsxx * tsy)) / det AS a2
+  FROM dd
+), met AS (
+  SELECT fold, n, a0, a1, a2, st, stt,
+         stt - 2.0 * (a0 * st + a1 * sxt + a2 * syt)
+           + (a0 * a0 * n + a1 * a1 * sxx + a2 * a2 * syy
+              + 2.0 * (a0 * a1 * sx + a0 * a2 * sy + a1 * a2 * sxy)) AS sse,
+         a0 * n + a1 * sx + a2 * sy AS sum_yhat
+  FROM coef
+)
+SELECT fold, CAST(n AS BIGINT) AS n_test,
+       ROUND(a0, 6) AS a0, ROUND(a1, 6) AS a1, ROUND(a2, 6) AS a2,
+       ROUND(SQRT(GREATEST(sse, 0.0) / n), 6) AS rmse,
+       ROUND((SQRT(GREATEST(sse, 0.0) / n) / (st / n)) * 100.0, 6) AS norm_rmse,
+       ROUND((sum_yhat - st) / n, 6) AS bias,
+       ROUND((((sum_yhat - st) / n) / (st / n)) * 100.0, 6) AS norm_bias,
+       ROUND(1.0 - sse / (stt - (st * st) / n), 6) AS r2
+FROM met
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -3835,6 +3909,7 @@ QUERIES_EXT = {
     "q111_class_balance": q111_class_balance,
     "q112_repetition_stats": q112_repetition_stats,
     "q113_otsu_outliers": q113_otsu_outliers,
+    "q114_kfold_regression": q114_kfold_regression,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -3985,6 +4060,7 @@ ORACLES_EXT = {
     "q111_class_balance": ORACLE_Q111,
     "q112_repetition_stats": ORACLE_Q112,
     "q113_otsu_outliers": ORACLE_Q113,
+    "q114_kfold_regression": ORACLE_Q114,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,
