@@ -173,3 +173,31 @@ def detrend(dem: np.ndarray) -> np.ndarray:
     A = np.stack([xx.ravel(), yy.ravel(), np.ones(h * w)], axis=1)
     coef, *_ = np.linalg.lstsq(A, dem.astype(np.float64).ravel(), rcond=None)
     return dem - (coef[0] * xx + coef[1] * yy + coef[2])
+
+def fft_dem_fusion(
+    high_res: "np.ndarray", low_res: "np.ndarray", c_size: int = 20
+) -> "np.ndarray":
+    """FFT DEM fusion (elevation.fft_dem_fusion, elevation/__init__.py:
+    10-91; Karkee et al. 2008): low-frequency structure from the
+    LOW-resolution DEM + high-frequency detail from the HIGH-resolution
+    DEM via a centred box swap in the shifted spectrum.
+
+    Documented deviation: the reference's array indexing copies the
+    CENTRE (low-frequency) box from the high-res spectrum into the
+    low-res spectrum — the inverse of its own docstring; this kernel
+    implements the documented intent (centre box from the LOW-res
+    spectrum into the high-res spectrum). c_size=0 degenerates to the
+    high-res input; a box covering the spectrum returns the low-res.
+    """
+    a = np.asarray(high_res, np.float64)
+    b = np.asarray(low_res, np.float64)
+    if a.shape != b.shape:
+        raise ValueError("DEMs must share a pixel grid (resample first)")
+    fa = np.fft.fftshift(np.fft.fft2(a))
+    fb = np.fft.fftshift(np.fft.fft2(b))
+    rows, cols = a.shape
+    crow, ccol = rows // 2, cols // 2
+    fa[crow - c_size : crow + c_size, ccol - c_size : ccol + c_size] = fb[
+        crow - c_size : crow + c_size, ccol - c_size : ccol + c_size
+    ]
+    return np.abs(np.fft.ifft2(np.fft.ifftshift(fa)))

@@ -190,3 +190,26 @@ class TestIndices:
         evi = BK.evi(b, r2, n2, refl_scale_factor=0.001)
         den = 0.16 + 6.0 * 0.2 - 7.5 * 0.05 + 1.0
         assert evi[0, 0] == pytest.approx(2.5 * (0.16 - 0.2) / den)
+
+
+def test_fft_dem_fusion():
+    import numpy as np
+    from rsgislib_spark.kernels import terrain as TK
+
+    rng = np.random.RandomState(3)
+    coarse = np.repeat(np.repeat(rng.uniform(100, 200, (4, 4)), 8, 0), 8, 1)
+    detail = rng.uniform(-3, 3, (32, 32))
+    high = coarse + detail
+    low = coarse  # the smooth structure only
+    fused = TK.fft_dem_fusion(high, low, c_size=4)
+    # fused keeps low's coarse structure with high's detail: closer to
+    # high than low is, but anchored to the low-res means
+    assert abs(fused.mean() - low.mean()) < 1.0
+    assert np.abs(fused - high).mean() < np.abs(low - high).mean() + 0.5
+    # degenerate cases
+    assert np.allclose(TK.fft_dem_fusion(high, low, c_size=0), np.abs(high), atol=1e-9)
+    full = TK.fft_dem_fusion(high, low, c_size=16)
+    assert np.allclose(full, np.abs(low), atol=1e-9)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        TK.fft_dem_fusion(high, low[:16, :16])
