@@ -1294,6 +1294,65 @@ FROM met
 """)
 
 
+def q115_spectral_unmixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unconstrained spectral unmixing (spec_unmix_spts_ucls,
+    specunmixing/__init__.py:244): per-image MEAN abundances for two
+    integer endmembers over the (red, nir) lattice bands. The UCLS
+    operator is linear, so applying it to the per-image integer band
+    SUMS equals the sum of per-pixel abundances — the Catalyst-literal
+    projection runs on aggregate rows while the oracle evaluates the
+    closed-form (adj/det) normal equations on the same exact sums;
+    ROUND 6 absorbs LAPACK-inverse vs rational-literal last bits."""
+    from rsgislib_spark.functions.unmixing import ucls_unmix
+    from rsgislib_spark.kernels import bands as BK
+
+    load_views(spark, sf_dir)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)).select(
+        "image_key", "w", "h"
+    )
+
+    def _sums(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                r = BK.synth_band_grid(k, w, h, "red")
+                n = BK.synth_band_grid(k, w, h, "nir")
+                rows.append((k, r.size, int(r.sum()), int(n.sum())))
+            yield pd.DataFrame(rows, columns=["image_key", "n_px", "sum_red", "sum_nir"])
+
+    sums = gi.mapInPandas(
+        _sums, schema="image_key long, n_px long, sum_red long, sum_nir long"
+    )
+    E = [[3.0, 1.0], [1.0, 4.0]]  # endmembers (rows) × bands
+    out = ucls_unmix(sums, ["sum_red", "sum_nir"], E)
+    return out.select(
+        "image_key", "n_px", "sum_red", "sum_nir",
+        F.round(F.col("ab1") / F.col("n_px"), 6).alias("mean_ab1"),
+        F.round(F.col("ab2") / F.col("n_px"), 6).alias("mean_ab2"),
+    )
+
+
+ORACLE_Q115 = _cte(f"""
+, s AS (
+  SELECT image_key, COUNT(*) AS n_px,
+         CAST(SUM((image_key * 7 + gx.px * 13 + gy.py * 17) % 251) AS BIGINT) AS sum_red,
+         CAST(SUM((image_key * 11 + gx.px * 5 + gy.py * 3) % 241) AS BIGINT) AS sum_nir
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+  GROUP BY image_key
+)
+-- E = [[3,1],[1,4]]; G = EE' = [[10,7],[7,17]], det 121,
+-- U = adj(G)E/det = [[44,-11],[-11,33]]/121
+SELECT image_key, n_px, sum_red, sum_nir,
+       ROUND((44.0 * sum_red - 11.0 * sum_nir) / 121.0 / n_px, 6) AS mean_ab1,
+       ROUND((-11.0 * sum_red + 33.0 * sum_nir) / 121.0 / n_px, 6) AS mean_ab2
+FROM s
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -3910,6 +3969,7 @@ QUERIES_EXT = {
     "q112_repetition_stats": q112_repetition_stats,
     "q113_otsu_outliers": q113_otsu_outliers,
     "q114_kfold_regression": q114_kfold_regression,
+    "q115_spectral_unmixing": q115_spectral_unmixing,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -4061,6 +4121,7 @@ ORACLES_EXT = {
     "q112_repetition_stats": ORACLE_Q112,
     "q113_otsu_outliers": ORACLE_Q113,
     "q114_kfold_regression": ORACLE_Q114,
+    "q115_spectral_unmixing": ORACLE_Q115,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,
