@@ -224,3 +224,63 @@ def shepherd_segment_images(
         _run,
         schema="image_key long, n_segments long, min_seg_px long, max_seg_px long",
     )
+
+
+def shepherd_segment_tiled(
+    spec: np.ndarray,
+    num_clusters: int = 8,
+    min_size: int = 5,
+    dist_thres: float = 1e9,
+    tile: int = 64,
+    merge_thres: float | None = None,
+) -> np.ndarray:
+    """Tiled Shepherd segmentation with seam reconciliation
+    (perform_tiled_segmentation, segmentation/tiledsegsingle.py:464-710).
+
+    Each tile is segmented independently (globally-offset labels); then
+    4-adjacent label pairs ACROSS tile seams whose segment band-mean
+    distance is below ``merge_thres`` (default ``dist_thres``) are
+    united with a union-find pass over the O(seam-length) pair table —
+    the same reconcile shape as clump_images. This is a one-pass
+    approximation of the reference's 3-stage border re-segmentation
+    (documented); at cluster scale tiles are rows and the seam-pair
+    table is the only cross-tile exchange.
+    """
+    from rsgislib_spark.operators.clump import _UnionFind
+
+    s = spec[None] if spec.ndim == 2 else np.asarray(spec, np.float64)
+    h, w = s.shape[1:]
+    lab = np.empty((h, w), np.int64)
+    offset = 0
+    for ty in range(0, h, tile):
+        for tx in range(0, w, tile):
+            sub = s[:, ty : ty + tile, tx : tx + tile]
+            seg = shepherd_segment(
+                sub[0] if s.shape[0] == 1 else sub, num_clusters, min_size, dist_thres
+            )
+            lab[ty : ty + tile, tx : tx + tile] = seg + offset
+            offset += int(seg.max()) + 1
+
+    thr = float(dist_thres if merge_thres is None else merge_thres)
+    flat = lab.ravel()
+    uniq, inv = np.unique(flat, return_inverse=True)
+    sizes = np.bincount(inv)
+    means = np.stack(
+        [np.bincount(inv, weights=b.ravel()) for b in s]
+    ) / sizes
+    uf = _UnionFind()
+    seams = []
+    for tx in range(tile, w, tile):
+        seams.append((lab[:, tx - 1], lab[:, tx]))
+    for ty in range(tile, h, tile):
+        seams.append((lab[ty - 1, :], lab[ty, :]))
+    for la, lb in seams:
+        pairs = np.unique(np.stack([la, lb], 1), axis=0)
+        ia = np.searchsorted(uniq, pairs[:, 0])
+        ib = np.searchsorted(uniq, pairs[:, 1])
+        d2 = ((means[:, ia] - means[:, ib]) ** 2).sum(0)
+        for a, b in pairs[d2 < thr * thr]:
+            uf.union(int(a), int(b))
+    remap = {v: uf.find(v) for v in uniq.tolist()}
+    merged = np.vectorize(remap.get, otypes=[np.int64])(lab)
+    return relabel_sequential(merged)

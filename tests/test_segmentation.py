@@ -129,3 +129,43 @@ def test_shepherd_end_to_end_deterministic():
     sizes = np.bincount(seg1.ravel())[1:]
     assert sizes.max() >= 5
     assert seg1.max() < seg1.size  # actually segmented, not all singletons
+
+
+def test_tiled_shepherd_merges_seam_segments():
+    from rsgislib_spark.operators.segmentation import (
+        shepherd_segment,
+        shepherd_segment_tiled,
+    )
+
+    rng = np.random.RandomState(12)
+    # a horizontal homogeneous band crossing the vertical tile seam
+    spec = rng.uniform(0, 20, (32, 64))
+    spec[12:20, :] = 200.0 + rng.uniform(0, 1, (8, 64))
+    tiled = shepherd_segment_tiled(
+        spec, num_clusters=4, min_size=5, dist_thres=1e9, tile=32, merge_thres=10.0
+    )
+    # the bright band is ONE segment despite the seam at x=32
+    band_labels = np.unique(tiled[14:18, :])
+    assert len(band_labels) == 1
+    # without seam merging it stays split
+    split = shepherd_segment_tiled(
+        spec, num_clusters=4, min_size=5, dist_thres=1e9, tile=32, merge_thres=0.0
+    )
+    assert len(np.unique(split[14:18, :])) >= 2
+    # labels are consecutive from 1
+    assert tiled.min() >= 1 and tiled.max() == len(np.unique(tiled))
+
+
+def test_tiled_shepherd_single_tile_equals_whole():
+    from rsgislib_spark.operators.segmentation import (
+        shepherd_segment,
+        shepherd_segment_tiled,
+    )
+
+    rng = np.random.RandomState(13)
+    spec = rng.uniform(0, 100, (24, 24))
+    whole = shepherd_segment(spec, num_clusters=4, min_size=4, dist_thres=1e9)
+    tiled = shepherd_segment_tiled(
+        spec, num_clusters=4, min_size=4, dist_thres=1e9, tile=24, merge_thres=0.0
+    )
+    assert np.array_equal(whole, tiled)  # one tile, no seams -> identical
