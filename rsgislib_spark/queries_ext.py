@@ -1353,6 +1353,73 @@ FROM s
 """)
 
 
+def q116_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data filter (the composite a 100 TB corpus
+    pipeline runs): per-document token/repetition quality signals +
+    exact near-identical dedup (md5 canonical = min doc_id per text
+    hash), then a per-language funnel report. One plan: the quality
+    stats reuse q112's word explode, dedup is one hash groupBy; every
+    count is integer-exact."""
+    from rsgislib_spark.functions.textops import repetition_stats
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    stats = repetition_stats(docs, "text", "doc_id")
+    canon = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("canon_id")
+    )
+    joined = (
+        docs.join(stats, "doc_id")
+        .withColumn("h", F.md5("text"))
+        .join(canon, "h")
+        .withColumn("is_dup", (F.col("doc_id") != F.col("canon_id")).cast("int"))
+        .withColumn(
+            "low_quality",
+            ((F.col("n_words") < 20) | (F.col("dup_word_frac") > 0.7)).cast("int"),
+        )
+    )
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").alias("n_dropped_dup"),
+        F.sum(F.when((F.col("is_dup") == 0) & (F.col("low_quality") == 1), 1)
+              .otherwise(0)).alias("n_dropped_quality"),
+        F.sum(F.when((F.col("is_dup") == 0) & (F.col("low_quality") == 0), 1)
+              .otherwise(0)).alias("n_kept"),
+        F.sum(F.when((F.col("is_dup") == 0) & (F.col("low_quality") == 0),
+                     F.col("doc_id")).otherwise(0)).alias("kept_id_sum"),
+    )
+
+
+ORACLE_Q116 = """
+WITH docs AS (
+  SELECT doc_id, text, lang, string_split(text, ' ') AS ws FROM documents
+), words AS (
+  SELECT doc_id, ws[i.i] AS w, i.i AS pos
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) i
+), base AS (
+  SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT w) AS n_distinct
+  FROM words GROUP BY 1
+), canon AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS canon_id FROM documents GROUP BY 1
+), j AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN d.doc_id != c.canon_id THEN 1 ELSE 0 END AS is_dup,
+         CASE WHEN b.n_words < 20
+                OR ROUND(1.0 - b.n_distinct / b.n_words, 6) > 0.7
+              THEN 1 ELSE 0 END AS low_quality
+  FROM documents d
+  JOIN base b ON b.doc_id = d.doc_id
+  JOIN canon c ON c.h = md5(d.text)
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(is_dup) AS BIGINT) AS n_dropped_dup,
+       CAST(SUM(CASE WHEN is_dup = 0 AND low_quality = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_quality,
+       CAST(SUM(CASE WHEN is_dup = 0 AND low_quality = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN is_dup = 0 AND low_quality = 0 THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM j GROUP BY lang
+"""
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -3970,6 +4037,7 @@ QUERIES_EXT = {
     "q113_otsu_outliers": q113_otsu_outliers,
     "q114_kfold_regression": q114_kfold_regression,
     "q115_spectral_unmixing": q115_spectral_unmixing,
+    "q116_training_filter": q116_training_filter,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -4122,6 +4190,7 @@ ORACLES_EXT = {
     "q113_otsu_outliers": ORACLE_Q113,
     "q114_kfold_regression": ORACLE_Q114,
     "q115_spectral_unmixing": ORACLE_Q115,
+    "q116_training_filter": ORACLE_Q116,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,
