@@ -241,3 +241,43 @@ def label_border_counts(labels: np.ndarray):
             with_counts[a][b] += int(c)
     present = np.flatnonzero(total > 0)
     return present, total, with_counts
+
+
+def boundary_pixel_mask(labels: np.ndarray) -> np.ndarray:
+    """1 where a pixel has a 4-neighbour with a different label
+    (find_boundary_pixels, src/segmentation/RSGISDefineSpectralDivision
+    / clump tooling); background (-1) never flagged."""
+    h, w = labels.shape
+    out = np.zeros((h, w), bool)
+    out[:, 1:] |= labels[:, 1:] != labels[:, :-1]
+    out[:, :-1] |= labels[:, :-1] != labels[:, 1:]
+    out[1:, :] |= labels[1:, :] != labels[:-1, :]
+    out[:-1, :] |= labels[:-1, :] != labels[1:, :]
+    return (out & (labels >= 0)).astype(np.int64)
+
+
+def border_clumps(labels: np.ndarray) -> np.ndarray:
+    """Sorted ids of clumps touching the raster edge
+    (define_border_clumps — the tiled pipeline's re-segmentation set)."""
+    edge = np.concatenate(
+        [labels[0, :], labels[-1, :], labels[:, 0], labels[:, -1]]
+    )
+    return np.unique(edge[edge >= 0])
+
+
+def clump_tile_positions(labels: np.ndarray, tile: int) -> dict:
+    """Label → 'boundary' | 'core' by whether the clump touches any
+    internal tile seam or the raster edge (define_clump_tile_positions,
+    segmentation/tiledclump.py staging)."""
+    h, w = labels.shape
+    seam = [labels[0, :], labels[-1, :], labels[:, 0], labels[:, -1]]
+    for tx in range(tile, w, tile):
+        seam.extend([labels[:, tx - 1], labels[:, tx]])
+    for ty in range(tile, h, tile):
+        seam.extend([labels[ty - 1, :], labels[ty, :]])
+    touching = set(np.unique(np.concatenate(seam)).tolist()) - {-1}
+    return {
+        int(v): ("boundary" if int(v) in touching else "core")
+        for v in np.unique(labels)
+        if v >= 0
+    }

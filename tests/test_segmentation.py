@@ -169,3 +169,33 @@ def test_tiled_shepherd_single_tile_equals_whole():
         spec, num_clusters=4, min_size=4, dist_thres=1e9, tile=24, merge_thres=0.0
     )
     assert np.array_equal(whole, tiled)  # one tile, no seams -> identical
+
+
+def test_boundary_and_border_helpers():
+    from rsgislib_spark.operators.clump import (
+        border_clumps,
+        boundary_pixel_mask,
+        clump_tile_positions,
+    )
+
+    lab = np.array(
+        [[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]], np.int64
+    )
+    m = boundary_pixel_mask(lab)
+    # the 4 outer corners have no differing 4-neighbour; the other 12 do
+    assert m.sum() == 12
+    assert m[0, 0] == 0 and m[0, 1] == 1
+    big = np.zeros((6, 6), np.int64)
+    big[2:4, 2:4] = 5
+    mb = boundary_pixel_mask(big)
+    assert mb[2, 2] == 1 and mb[0, 0] == 0  # interior of label-0 sea is calm
+    assert set(border_clumps(lab).tolist()) == {0, 1, 2, 3}
+    inner = -np.ones((5, 5), np.int64)
+    inner[2, 2] = 7
+    assert border_clumps(inner).tolist() == []
+    pos = clump_tile_positions(lab, tile=2)
+    assert set(pos.values()) == {"boundary"}  # all four touch the seam
+    solo = np.zeros((4, 4), np.int64)
+    solo[1:3, 1:3] = 1
+    pos2 = clump_tile_positions(solo, tile=4)
+    assert pos2[0] == "boundary" and pos2[1] == "core"
