@@ -284,3 +284,56 @@ def shepherd_segment_tiled(
     remap = {v: uf.find(v) for v in uniq.tolist()}
     merged = np.vectorize(remap.get, otypes=[np.int64])(lab)
     return relabel_sequential(merged)
+
+
+def vectorise_pixels_to_points(
+    band: np.ndarray, value: int, minx: float, maxy_or_miny: float, pxl_size: float
+) -> np.ndarray:
+    """Pixel-centroid points for pixels equal to ``value``
+    (vectorise_pxls_to_pts, vectorutils/createvectors.py:119-180).
+    Returns (n, 4): px, py, x, y with x/y the pixel-centre coordinates
+    in the image frame (origin at miny, y increasing upward — this
+    engine's footprint convention)."""
+    ys, xs = np.nonzero(np.asarray(band) == value)
+    x = minx + (xs + 0.5) * pxl_size
+    y = maxy_or_miny + (ys + 0.5) * pxl_size
+    return np.stack([xs.astype(np.float64), ys.astype(np.float64), x, y], 1)
+
+
+def polygonise_rect_parts(labels: np.ndarray) -> np.ndarray:
+    """Rectilinear polygonisation by maximal-rectangle decomposition
+    (polygonise_raster_to_vec_lyr, createvectors.py:20-117 — GDAL
+    polygonize analog): each label region becomes the minimal set of
+    pixel-aligned rectangles obtained by merging identical horizontal
+    runs down consecutive rows. Deterministic and SQL-replayable (runs
+    via LAG windows, vertical merge via run-identity grouping).
+
+    Returns (n, 5) int64 rows: label, x0, y0, x1, y1 (exclusive ends).
+    """
+    lab = np.asarray(labels, np.int64)
+    h, w = lab.shape
+    parts: dict[tuple[int, int, int], list] = {}  # (label, x0, x1) -> open rect
+    out = []
+    for y in range(h):
+        row = lab[y]
+        start = np.ones(w, bool)
+        start[1:] = row[1:] != row[:-1]
+        idx = np.nonzero(start)[0]
+        ends = np.append(idx[1:], w)
+        nxt: dict[tuple[int, int, int], list] = {}
+        for x0, x1 in zip(idx, ends):
+            v = int(row[x0])
+            if v < 0:
+                continue
+            key = (v, int(x0), int(x1))
+            if key in parts:
+                rect = parts.pop(key)
+                rect[4] = y + 1  # extend downward
+            else:
+                rect = [v, int(x0), y, int(x1), y + 1]
+            nxt[key] = rect
+        out.extend(parts.values())  # unextended rects are finished
+        parts = nxt
+    out.extend(parts.values())
+    res = np.array(sorted(map(tuple, out)), np.int64)
+    return res.reshape(-1, 5)

@@ -1420,6 +1420,106 @@ FROM j GROUP BY lang
 """
 
 
+def q117_polygonise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster → vector conversion family (polygonise_raster_to_vec_lyr,
+    vectorutils/createvectors.py:20-117; vectorise_pxls_to_pts :119-180):
+    each class region decomposes into maximal pixel-aligned rectangles
+    (merge identical horizontal runs down consecutive rows — the
+    deterministic, SQL-replayable polygonise), plus pixel-centroid
+    points for one target value. Per (image, class): pixel count, run
+    count, rectangle-part count, target-value point count and exact
+    centroid-x sum."""
+    from rsgislib_spark.kernels import bands as BK
+    from rsgislib_spark.operators.segmentation import polygonise_rect_parts
+
+    load_views(spark, sf_dir)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0)).select(
+        "image_key", "w", "h"
+    )
+
+    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                v = BK.synth_band_grid(k, w, h, "red")
+                cls = v // 64
+                parts = polygonise_rect_parts(cls)
+                runs_start = np.ones_like(cls, bool)
+                runs_start[:, 1:] = cls[:, 1:] != cls[:, :-1]
+                is42 = v == 42
+                xs42 = np.nonzero(is42)[1]
+                for c in np.unique(cls):
+                    sel = cls == c
+                    psel = parts[parts[:, 0] == c]
+                    n42 = int((is42 & sel).sum())
+                    sx = float(((np.nonzero(is42 & sel)[1] + 0.5) * 10.0).sum())
+                    rows.append(
+                        (
+                            k, int(c), int(sel.sum()),
+                            int(runs_start[sel].sum()),
+                            len(psel),
+                            int(((psel[:, 3] - psel[:, 1]) * (psel[:, 4] - psel[:, 2])).sum()),
+                            n42, sx,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_key", "cls", "n_px", "n_runs", "n_parts",
+                         "parts_area", "n_val42", "sum_x42"],
+            )
+
+    return gi.mapInPandas(
+        _run,
+        schema="image_key long, cls long, n_px long, n_runs long, n_parts long, "
+        "parts_area long, n_val42 long, sum_x42 double",
+    )
+
+
+ORACLE_Q117 = _cte(f""",
+px AS MATERIALIZED (
+  SELECT image_key, w, h, gx.px AS px, gy.py AS py,
+         (image_key * 7 + gx.px * 13 + gy.py * 17) % 251 AS v,
+         ((image_key * 7 + gx.px * 13 + gy.py * 17) % 251) // 64 AS cls
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+), runs AS MATERIALIZED (
+  SELECT image_key, py, MIN(cls) AS cls, MIN(px) AS x0, MAX(px) + 1 AS x1
+  FROM (
+    SELECT *, SUM(flag) OVER (PARTITION BY image_key, py ORDER BY px) AS grp
+    FROM (
+      SELECT *, CASE WHEN px = 0
+                     OR cls != LAG(cls) OVER (PARTITION BY image_key, py ORDER BY px)
+                     THEN 1 ELSE 0 END AS flag
+      FROM px
+    )
+  ) GROUP BY image_key, py, grp
+), rect AS (
+  SELECT image_key, cls, x0, x1, py,
+         CASE WHEN py = LAG(py) OVER (PARTITION BY image_key, cls, x0, x1 ORDER BY py) + 1
+              THEN 0 ELSE 1 END AS new_rect
+  FROM runs
+), per_run AS (
+  SELECT image_key, cls,
+         CAST(COUNT(*) AS BIGINT) AS n_runs,
+         CAST(SUM(x1 - x0) AS BIGINT) AS n_px,
+         CAST(SUM(new_rect) AS BIGINT) AS n_parts
+  FROM rect GROUP BY 1, 2
+), pts AS (
+  SELECT image_key, cls,
+         CAST(SUM(CASE WHEN v = 42 THEN 1 ELSE 0 END) AS BIGINT) AS n_val42,
+         SUM(CASE WHEN v = 42 THEN (px + 0.5) * 10.0 ELSE 0.0 END) AS sum_x42
+  FROM px GROUP BY 1, 2
+)
+SELECT r.image_key, r.cls, r.n_px, r.n_runs, r.n_parts,
+       r.n_px AS parts_area,
+       p.n_val42, p.sum_x42
+FROM per_run r JOIN pts p ON p.image_key = r.image_key AND p.cls = r.cls
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -4038,6 +4138,7 @@ QUERIES_EXT = {
     "q114_kfold_regression": q114_kfold_regression,
     "q115_spectral_unmixing": q115_spectral_unmixing,
     "q116_training_filter": q116_training_filter,
+    "q117_polygonise": q117_polygonise,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -4191,6 +4292,7 @@ ORACLES_EXT = {
     "q114_kfold_regression": ORACLE_Q114,
     "q115_spectral_unmixing": ORACLE_Q115,
     "q116_training_filter": ORACLE_Q116,
+    "q117_polygonise": ORACLE_Q117,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,

@@ -199,3 +199,34 @@ def test_boundary_and_border_helpers():
     solo[1:3, 1:3] = 1
     pos2 = clump_tile_positions(solo, tile=4)
     assert pos2[0] == "boundary" and pos2[1] == "core"
+
+
+def test_polygonise_rect_parts_properties():
+    from rsgislib_spark.operators.segmentation import polygonise_rect_parts
+
+    rng = np.random.RandomState(6)
+    lab = rng.randint(0, 4, (20, 15)).astype(np.int64)
+    parts = polygonise_rect_parts(lab)
+    # exact cover: every pixel in exactly one part of its own label
+    cover = np.full(lab.shape, -1, np.int64)
+    for v, x0, y0, x1, y1 in parts:
+        assert (lab[y0:y1, x0:x1] == v).all()  # parts are label-pure
+        assert (cover[y0:y1, x0:x1] == -1).all()  # no overlaps
+        cover[y0:y1, x0:x1] = v
+    assert np.array_equal(cover, lab)  # full tiling
+    # background (-1) is skipped
+    lab2 = lab.copy()
+    lab2[lab2 == 0] = -1
+    parts2 = polygonise_rect_parts(lab2)
+    assert (parts2[:, 0] != -1).all()
+    assert ((parts2[:, 3] - parts2[:, 1]) * (parts2[:, 4] - parts2[:, 2])).sum() == (lab2 >= 0).sum()
+
+
+def test_vectorise_pixels_to_points():
+    from rsgislib_spark.operators.segmentation import vectorise_pixels_to_points
+
+    band = np.array([[5, 1], [1, 5]], np.int64)
+    pts = vectorise_pixels_to_points(band, 5, 1000.0, 2000.0, 10.0)
+    assert pts.shape == (2, 4)
+    assert pts[0].tolist() == [0.0, 0.0, 1005.0, 2005.0]
+    assert pts[1].tolist() == [1.0, 1.0, 1015.0, 2015.0]
