@@ -1520,6 +1520,41 @@ FROM per_run r JOIN pts p ON p.image_key = r.image_key AND p.cls = r.cls
 """)
 
 
+def q118_chip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-centred training-chip extraction (zonalstats chip tensors,
+    zonalstats/__init__.py:1674-1904): every (covering image, point)
+    pair yields a FULL 8×8 chip, edge chips re-anchored inside the
+    image (the square-block convention). The oracle replays the floor
+    pixel lookup, the clamp, and the 64-term lattice chip sum."""
+    from rsgislib_spark.operators.chips import extract_chips
+
+    load_views(spark, sf_dir)
+    gi = widen(_geo_images(spark))
+    return extract_chips(gi, _geo_points(spark), chip_size=8)
+
+
+ORACLE_Q118 = _cte(f""",
+j AS (
+  SELECT p.pt_id, g.image_key, g.w, g.h,
+         CAST(FLOOR((p.x - g.minx) / 10.0) AS BIGINT) AS px,
+         CAST(FLOOR((g.maxy - p.y) / 10.0) AS BIGINT) AS py
+  FROM geo_points p JOIN geo_images g
+    ON p.x >= g.minx AND p.x < g.maxx AND p.y > g.miny AND p.y <= g.maxy
+), a AS (
+  SELECT pt_id, image_key,
+         LEAST(GREATEST(px - 4, 0), w - 8) AS x0,
+         LEAST(GREATEST(py - 4, 0), h - 8) AS y0
+  FROM j
+)
+SELECT a.pt_id, a.image_key, a.x0, a.y0,
+       CAST(SUM((a.image_key * 7 + (a.x0 + dx.i) * 13 + (a.y0 + dy.i) * 17) % 251) AS BIGINT) AS chip_sum
+FROM a,
+LATERAL (SELECT unnest(generate_series(0, 7)) AS i) dx,
+LATERAL (SELECT unnest(generate_series(0, 7)) AS i) dy
+GROUP BY 1, 2, 3, 4
+""")
+
+
 def q26_zone_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighbour pairs (find_neighbours, rastergis.cpp:1907-1914): zones
     whose rectangles intersect, each unordered pair once. Broadcast
@@ -4139,6 +4174,7 @@ QUERIES_EXT = {
     "q115_spectral_unmixing": q115_spectral_unmixing,
     "q116_training_filter": q116_training_filter,
     "q117_polygonise": q117_polygonise,
+    "q118_chip_extract": q118_chip_extract,
     "q43_deterministic_sample": q43_deterministic_sample,
     "q44_set_ops": q44_set_ops,
     "q45_band_rmse": q45_band_rmse,
@@ -4293,6 +4329,7 @@ ORACLES_EXT = {
     "q115_spectral_unmixing": ORACLE_Q115,
     "q116_training_filter": ORACLE_Q116,
     "q117_polygonise": ORACLE_Q117,
+    "q118_chip_extract": ORACLE_Q118,
     "q43_deterministic_sample": ORACLE_Q43,
     "q44_set_ops": ORACLE_Q44,
     "q45_band_rmse": ORACLE_Q45,

@@ -230,3 +230,33 @@ def test_vectorise_pixels_to_points():
     assert pts.shape == (2, 4)
     assert pts[0].tolist() == [0.0, 0.0, 1005.0, 2005.0]
     assert pts[1].tolist() == [1.0, 1.0, 1015.0, 2015.0]
+
+
+def test_extract_chips_pixels(spark):
+    import pandas as pd
+    from rsgislib_spark.kernels import bands as BK
+    from rsgislib_spark.operators.chips import extract_chips
+
+    images = spark.createDataFrame(
+        pd.DataFrame([{"image_key": 3, "w": 64, "h": 64, "minx": 0.0, "miny": 0.0}])
+    )
+    # one interior point and one corner point (re-anchor case)
+    points = spark.createDataFrame(
+        pd.DataFrame({"pt_id": [1, 2], "x": [305.0, 5.0], "y": [305.0, 635.0]})
+    )
+    out = (
+        extract_chips(images, points, chip_size=8, with_pixels=True)
+        .toPandas()
+        .set_index("pt_id")
+    )
+    grid = BK.synth_band_grid(3, 64, 64, "red")
+    # interior: x=305 -> px=30, y=305 -> py=floor((640-305)/10)=33; anchored (26,29)
+    r = out.loc[1]
+    assert (r.x0, r.y0) == (26, 29)
+    assert np.array_equal(
+        np.array(r.chip).reshape(8, 8), grid[29:37, 26:34]
+    )
+    # corner: px=0, py=0 -> clamped anchor (0, 0)
+    r2 = out.loc[2]
+    assert (r2.x0, r2.y0) == (0, 0)
+    assert r2.chip_sum == int(grid[0:8, 0:8].sum())
