@@ -565,17 +565,55 @@ LATERAL (SELECT unnest(generate_series(0, CAST((h + {TILE} - 1) // {TILE} AS INT
 
 def q20_tile_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiles → grid cell of the tile centre; count per cell (the tile→cell
-    assignment stage of the north-star pipeline, payload-free variant)."""
+    assignment stage of the north-star pipeline, payload-free variant).
+
+    Fused: the tiler UDTF computes the cell id in-kernel and emits
+    PER-CELL PARTIAL COUNTS per Arrow batch (aggregation pushdown — the
+    shuffle carries |distinct cells per batch| rows instead of every
+    tile row + a join back to the image table). All cell arithmetic is
+    dyadic-exact (tile centres are multiples of 5), so the fused path
+    is bit-identical to the compose-then-join formulation the oracle
+    replays."""
+    from rsgislib_spark.kernels import pixelmath
+
     load_views(spark, sf_dir)
-    tiles = q19_tile_grid(spark, sf_dir)
-    gi = _geo_images(spark).select("image_key", "minx", "miny", "maxy")
-    t = tiles.join(F.broadcast(gi), "image_key")
-    cx = F.col("minx") + (F.col("x0") + F.col("tw") / 2.0) * 10.0
-    cy = F.col("maxy") - (F.col("y0") + F.col("th") / 2.0) * 10.0
-    cell = (
-        F.floor(cx / CELL).cast("long") * F.lit(GRID_DIM) + F.floor(cy / CELL).cast("long")
-    )
-    return t.select(cell.alias("cell")).groupBy("cell").agg(F.count("*").alias("n_tiles"))
+    gi = widen(_geo_images(spark).select("image_key", "w", "h", "minx", "maxy"))
+
+    def _cells(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict = {}
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ws = pdf["w"].to_numpy(np.int64)
+            hs = pdf["h"].to_numpy(np.int64)
+            minx = pdf["minx"].to_numpy(np.float64)
+            maxy = pdf["maxy"].to_numpy(np.float64)
+            shape_key = ws * np.int64(1 << 32) + hs
+            cells_parts = []
+            for sk in np.unique(shape_key):
+                w, h = int(sk >> 32), int(sk & 0xFFFFFFFF)
+                wins = cache.get((w, h))
+                if wins is None:
+                    wins = cache.setdefault(
+                        (w, h), pixelmath.tile_windows_simple(w, h, TILE, TILE)
+                    )
+                sel = shape_key == sk
+                # tile-centre offsets for this shape, once
+                ox = (wins[:, 2] + wins[:, 4] / 2.0) * 10.0
+                oy = (wins[:, 3] + wins[:, 5] / 2.0) * 10.0
+                cx = minx[sel][:, None] + ox[None, :]
+                cy = maxy[sel][:, None] - oy[None, :]
+                cell = (
+                    np.floor(cx / CELL).astype(np.int64) * GRID_DIM
+                    + np.floor(cy / CELL).astype(np.int64)
+                )
+                cells_parts.append(cell.ravel())
+            allc = np.concatenate(cells_parts)
+            uniq, cnt = np.unique(allc, return_counts=True)
+            yield pd.DataFrame({"cell": uniq, "n": cnt})
+
+    partial = gi.mapInPandas(_cells, schema="cell long, n long")
+    return partial.groupBy("cell").agg(F.sum("n").alias("n_tiles"))
 
 
 ORACLE_Q20 = _cte(f"""
