@@ -464,3 +464,30 @@ def drop_holes(rings, area_thres: float | None = None):
         if a >= area_thres:
             kept.append(ring)
     return kept
+
+
+def bbox_union(boxes: np.ndarray) -> np.ndarray:
+    """Enclosing bbox of N (minx, miny, maxx, maxy) rows
+    (find_bbox_union, tools/geometrytools.py)."""
+    b = np.asarray(boxes, np.float64).reshape(-1, 4)
+    return np.array(
+        [b[:, 0].min(), b[:, 1].min(), b[:, 2].max(), b[:, 3].max()], np.float64
+    )
+
+
+def snap_extent_to_grid(bbox, grid: float, full_contain: bool = True) -> np.ndarray:
+    """Snap a (minx, miny, maxx, maxy) bbox onto a square grid
+    (find_extent_on_grid / find_extent_on_whole_num_grid,
+    tools/geometrytools.py:331-400): ``full_contain`` grows outward
+    (floor mins / ceil maxes), else shrinks inward."""
+    minx, miny, maxx, maxy = (float(v) for v in bbox)
+    g = float(grid)
+    if full_contain:
+        return np.array(
+            [np.floor(minx / g) * g, np.floor(miny / g) * g,
+             np.ceil(maxx / g) * g, np.ceil(maxy / g) * g], np.float64
+        )
+    return np.array(
+        [np.ceil(minx / g) * g, np.ceil(miny / g) * g,
+         np.floor(maxx / g) * g, np.floor(maxy / g) * g], np.float64
+    )

@@ -129,3 +129,12 @@ def test_hole_helpers():
     kept = GK.drop_holes(rings, area_thres=2.0)
     assert len(kept) == 2
     assert len(GK.drop_holes(rings, area_thres=5.0)) == 1
+
+
+def test_bbox_union_and_snap():
+    boxes = np.array([[0.0, 5, 10, 8], [-3, 6, 4, 20], [1, 1, 2, 2]])
+    assert GK.bbox_union(boxes).tolist() == [-3, 1, 10, 20]
+    out = GK.snap_extent_to_grid([3.2, 4.7, 17.1, 19.9], 5.0, full_contain=True)
+    assert out.tolist() == [0.0, 0.0, 20.0, 20.0]
+    inner = GK.snap_extent_to_grid([3.2, 4.7, 17.1, 19.9], 5.0, full_contain=False)
+    assert inner.tolist() == [5.0, 5.0, 15.0, 15.0]
