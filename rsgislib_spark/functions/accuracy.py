@@ -43,7 +43,11 @@ def class_accuracy_metrics(
     precision, recall, f1, overall_accuracy, cohen_kappa,
     quantity_dis, allocation_dis, proportion_correct.
     """
-    cm = confusion_counts(df, ref_col, pred_col).persist()
+    # localCheckpoint (eager) instead of persist(): the k×k counts are tiny,
+    # and checkpointing releases the upstream lineage/cache immediately —
+    # repeated calls in a long-lived session leave no CacheManager residue
+    # (same pattern as minhash_band_pairs / ngram_jaccard_pairs).
+    cm = confusion_counts(df, ref_col, pred_col).localCheckpoint(eager=True)
 
     row = cm.groupBy("ref").agg(F.sum("n").alias("row_n"))
     col = cm.groupBy("pred").agg(F.sum("n").alias("col_n"))

@@ -21,6 +21,14 @@ from __future__ import annotations
 import numpy as np
 
 
+def _acc_dtype(arr: np.ndarray, requested=np.int64):
+    """Accumulator dtype: honour an integer request only for integer
+    rasters — accumulating a float raster in int64 silently truncates."""
+    if arr.dtype.kind == "f" and np.dtype(requested).kind in "iu":
+        return np.float64
+    return requested
+
+
 def _integral(arr: np.ndarray, dtype=np.int64) -> np.ndarray:
     """Summed-area table with a zero row/col prepended."""
     s = np.zeros((arr.shape[0] + 1, arr.shape[1] + 1), dtype=dtype)
@@ -38,7 +46,7 @@ def focal_sum_count(arr: np.ndarray, radius: int = 1, dtype=np.int64):
     pipeline kernel does — bandwidth, not FLOPs, bounds this kernel).
     """
     h, w = arr.shape
-    s = _integral(arr, dtype)
+    s = _integral(arr, _acc_dtype(arr, dtype))
     y0 = np.clip(np.arange(h) - radius, 0, h)
     y1 = np.clip(np.arange(h) + radius + 1, 0, h)
     x0 = np.clip(np.arange(w) - radius, 0, w)
@@ -84,7 +92,7 @@ def focal_range(arr: np.ndarray, radius: int = 1) -> np.ndarray:
 def focal_stddev_pop(arr: np.ndarray, radius: int = 1) -> np.ndarray:
     """Population stddev over the clipped window (apply_stddev_filter)."""
     s, c = focal_sum_count(arr, radius)
-    s2, _ = focal_sum_count(arr.astype(np.int64) ** 2, radius)
+    s2, _ = focal_sum_count(arr.astype(_acc_dtype(arr)) ** 2, radius)
     mean = s / c
     return np.sqrt(np.maximum(s2 / c - mean * mean, 0.0))
 
@@ -110,7 +118,10 @@ def focal_coeff_of_var(arr: np.ndarray, radius: int = 1) -> np.ndarray:
     (apply_coeff_of_var_filter; RSGISCoeffOfVarFilter,
     RSGISStatsFilters.cpp:295-330)."""
     s, c = focal_sum_count(arr, radius)
-    s2, _ = focal_sum_count(arr.astype(np.int64) ** 2, radius)
+    # int64 squares for integer rasters (exact); float64 squares for float
+    # rasters — casting a float raster to int64 would silently truncate
+    # fractional values and return a wrong CoV.
+    s2, _ = focal_sum_count(arr.astype(_acc_dtype(arr)) ** 2, radius)
     mean = s / c
     return np.sqrt(np.maximum(s2 / c - mean * mean, 0.0)) / mean
 
@@ -121,7 +132,7 @@ def focal_total_diff(arr: np.ndarray, radius: int = 1) -> np.ndarray:
     RSGISStatsFilters.cpp:782-810). The centre term contributes zero, so
     this is ``window_sum − count·centre`` — integral-image exact."""
     s, c = focal_sum_count(arr, radius)
-    return s - c * arr.astype(np.int64)
+    return s - c * arr.astype(_acc_dtype(arr))
 
 
 def focal_mean_diff(arr: np.ndarray, radius: int = 1) -> np.ndarray:
@@ -129,7 +140,7 @@ def focal_mean_diff(arr: np.ndarray, radius: int = 1) -> np.ndarray:
     RSGISMeanDiffFilter, RSGISStatsFilters.cpp:673-705 — the reference
     divides by the neighbour count excluding the centre)."""
     s, c = focal_sum_count(arr, radius)
-    return (s - c * arr.astype(np.int64)) / (c - 1)
+    return (s - c * arr.astype(_acc_dtype(arr))) / (c - 1)
 
 
 def focal_total_diff_abs(arr: np.ndarray, radius: int = 1) -> np.ndarray:

@@ -281,8 +281,12 @@ def shepherd_segment_tiled(
         d2 = ((means[:, ia] - means[:, ib]) ** 2).sum(0)
         for a, b in pairs[d2 < thr * thr]:
             uf.union(int(a), int(b))
-    remap = {v: uf.find(v) for v in uniq.tolist()}
-    merged = np.vectorize(remap.get, otypes=[np.int64])(lab)
+    # Vectorized remap: Python only over the |uniq| labels (tiny); the
+    # full-raster pass is a searchsorted + int64 gather — no per-pixel
+    # Python (the inv indices from np.unique already ARE the searchsorted
+    # positions of every pixel's label in uniq).
+    roots = np.array([uf.find(int(v)) for v in uniq], dtype=np.int64)
+    merged = roots[inv].reshape(lab.shape)
     return relabel_sequential(merged)
 
 

@@ -344,11 +344,20 @@ def percentiles_from_histogram(
     cum = hist.withColumn("cum", F.sum(cnt_col).over(wcum)).withColumn(
         "n", F.sum(cnt_col).over(W.partitionBy(*keys))
     )
+    from fractions import Fraction
+
     out = hist.groupBy(*key_cols).agg(F.sum(cnt_col).alias("n_px"))
     for p in ps:
         name = f"p{int(round(p * 100)):02d}"
+        # Rank in INTEGER arithmetic: p as an exact small rational num/den,
+        # rank = ceil(p·n) = (num·n + den − 1) div den. Double arithmetic
+        # (ceil(float(p)·n)) is off by one for non-dyadic p (e.g. p=0.1,
+        # n=110 → 11.000000000000002 → ceil 12).
+        frac = Fraction(p).limit_denominator(1_000_000)
+        num, den = frac.numerator, frac.denominator
+        rank = F.expr(f"({num}L * n + {den - 1}L) div {den}L")
         sel = (
-            cum.filter(F.col("cum") >= F.ceil(F.lit(float(p)) * F.col("n")))
+            cum.filter(F.col("cum") >= rank)
             .groupBy(*key_cols)
             .agg(F.min(value_col).alias(name))
         )

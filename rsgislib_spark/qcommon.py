@@ -59,10 +59,13 @@ def widen(df: DataFrame) -> DataFrame:
     this is a no-op."""
     par = df.sparkSession.sparkContext.defaultParallelism
     size = plan_size_bytes(df)
-    if size is not None:
-        if size < par * 4 * 1024 * 1024:
-            return df.repartition(par)
+    if size is not None and size >= par * 4 * 1024 * 1024:
         return df
+    # Size estimate small (or unavailable): confirm with the partition
+    # count before shuffling — a wide-but-small-estimate input (e.g.
+    # Catalyst stats above a Python-eval node) must NOT be collapsed to
+    # `par` partitions. The RDD conversion is acceptable here because the
+    # plan is, by the estimate we just read, tiny.
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df

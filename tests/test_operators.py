@@ -581,3 +581,34 @@ class TestNorthStarDecoded:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_percentile_rank_integer_arithmetic(spark):
+    """p=0.1 with n=110: double arithmetic gives ceil(11.000000000000002)=12
+    (wrong order statistic); the integer rank must select the 11th value
+    (ADVICE r3: zonal percentiles_from_histogram)."""
+    import pandas as pd
+    from rsgislib_spark.operators.zonal import percentiles_from_histogram
+
+    # zone 1: values 1..110 each with count 1 -> p10 = 11th value = 11
+    hist = spark.createDataFrame(
+        pd.DataFrame({"zone": 1, "value": range(1, 111), "cnt": 1})
+    )
+    out = percentiles_from_histogram(hist, ["zone"], ps=(0.1,)).toPandas()
+    assert out.loc[0, "n_px"] == 110
+    assert out.loc[0, "p10"] == 11
+
+
+def test_extract_chips_rejects_small_image(spark):
+    import pandas as pd
+    from rsgislib_spark.operators.chips import extract_chips
+
+    images = spark.createDataFrame(
+        pd.DataFrame([{"image_key": 9, "w": 4, "h": 64, "minx": 0.0, "miny": 0.0}])
+    )
+    points = spark.createDataFrame(
+        pd.DataFrame({"pt_id": [1], "x": [5.0], "y": [635.0]})
+    )
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="smaller than chip_size"):
+        extract_chips(images, points, chip_size=8).collect()

@@ -194,3 +194,31 @@ def test_local_minima():
     c = np.array([[0, 9, 9], [9, 5, 9], [9, 9, 0]], np.int64)
     assert FK.local_minima(c, se=FK.circular_se(3))[1, 1] == 1  # diagonals excluded
     assert FK.local_minima(c)[1, 1] == 0
+
+
+def test_float_raster_focal_stats_exact():
+    """Float rasters must NOT be truncated by int64 accumulators
+    (ADVICE r3: focal_coeff_of_var squared via astype(int64))."""
+    rng = np.random.RandomState(11)
+    a = rng.rand(9, 7) * 3.0  # fractional values throughout
+    r = 1
+    h, w = a.shape
+    for y in range(h):
+        for x in range(w):
+            win = a[max(0, y - r): y + r + 1, max(0, x - r): x + r + 1]
+            m, sd = win.mean(), win.std()
+            assert abs(FK.focal_mean(a, r)[y, x] - m) < 1e-9
+            assert abs(FK.focal_stddev_pop(a, r)[y, x] - sd) < 1e-9
+            assert abs(FK.focal_coeff_of_var(a, r)[y, x] - sd / m) < 1e-9
+            assert abs(FK.focal_total_diff(a, r)[y, x] - (win.sum() - win.size * a[y, x])) < 1e-9
+            assert abs(
+                FK.focal_mean_diff(a, r)[y, x]
+                - (win.sum() - win.size * a[y, x]) / (win.size - 1)
+            ) < 1e-9
+
+
+def test_int_raster_focal_stats_still_integer_exact():
+    a = (np.arange(35, dtype=np.int64) ** 3).reshape(5, 7) % 1000
+    s, c = FK.focal_sum_count(a, 1)
+    assert s.dtype == np.int64  # integer rasters keep exact int64 sums
+    assert s[0, 0] == a[:2, :2].sum()
