@@ -2793,6 +2793,98 @@ FROM s
 """)
 
 
+_CAL119_COEFFS_SQL = """
+SELECT * FROM (VALUES
+  ('red', CAST(-6.2 AS DOUBLE), CAST(293.7 AS DOUBLE), CAST(1.0 AS DOUBLE),
+   CAST(255.0 AS DOUBLE), CAST(1.17662 AS DOUBLE), CAST(-6.2 AS DOUBLE),
+   CAST(1.3 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.00965 AS DOUBLE),
+   CAST(0.0625 AS DOUBLE), CAST(774.89 AS DOUBLE), CAST(1321.08 AS DOUBLE),
+   CAST(1536.0 AS DOUBLE), CAST(2.5 AS DOUBLE), CAST(0.1 AS DOUBLE),
+   CAST(0.5 AS DOUBLE), CAST(0.02 AS DOUBLE)),
+  ('nir', CAST(-6.4 AS DOUBLE), CAST(300.9 AS DOUBLE), CAST(1.0 AS DOUBLE),
+   CAST(255.0 AS DOUBLE), CAST(1.20512 AS DOUBLE), CAST(-6.4 AS DOUBLE),
+   CAST(1.6 AS DOUBLE), CAST(0.2 AS DOUBLE), CAST(0.01045 AS DOUBLE),
+   CAST(0.0985 AS DOUBLE), CAST(607.76 AS DOUBLE), CAST(1260.56 AS DOUBLE),
+   CAST(1145.0 AS DOUBLE), CAST(2.2 AS DOUBLE), CAST(0.08 AS DOUBLE),
+   CAST(0.45 AS DOUBLE), CAST(0.015 AS DOUBLE))
+) AS t(band, lmin, lmax, qcalmin, qcalmax, mult, addv, gain, bias,
+       abscal, effbw, k1, k2, esun, ax, bx, cx, doff)
+"""
+
+_CAL119_CZ = "COS(RADIANS(35.0))"
+
+
+def q119_calibration_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The calibration sensor-transform family as PURE Catalyst column
+    maps (kernels/calibration.py *_col builders) — one row per
+    (band, DN) with eight transforms applied: gradient DN→radiance,
+    multi/add DN→radiance, SPOT5, WorldView2, thermal brightness, TOA
+    reflectance, its inverse, 6S single-param SREF, and dark-object
+    subtraction. Per-VALUE outputs (no double sums) keep cross-engine
+    parity a pure scalar-map check; at 100 TB each map fuses into the
+    scan under whole-stage codegen (imagecalibration.cpp:1665-1954)."""
+    from rsgislib_spark.kernels import calibration as CAL
+
+    load_views(spark, sf_dir)
+    coeffs = spark.sql(_CAL119_COEFFS_SQL)
+    dn = spark.sql("SELECT DISTINCT p_partkey % 256 AS dn FROM part")
+    df = dn.crossJoin(F.broadcast(coeffs))
+    d = float(CAL.solar_distance(166))
+    cz = float(np.cos(np.radians(35.0)))
+    dncol = F.col("dn")
+    l_ma = CAL.dn_to_radiance_multi_add_col(dncol, F.col("mult"), F.col("addv"))
+    rho = CAL.radiance_to_toa_refl_col(l_ma, F.col("esun"), d, cz)
+    r6 = lambda col, name: F.round(col, 6).alias(name)
+    return df.select(
+        "band",
+        "dn",
+        r6(CAL.dn_to_radiance_grad_col(
+            dncol, F.col("lmin"), F.col("lmax"), F.col("qcalmin"), F.col("qcalmax")
+        ), "l_grad"),
+        r6(l_ma, "l_ma"),
+        r6(CAL.spot5_to_radiance_col(dncol, F.col("gain"), F.col("bias")), "l_spot5"),
+        r6(CAL.worldview2_to_radiance_col(dncol, F.col("abscal"), F.col("effbw")), "l_wv2"),
+        r6(CAL.thermal_rad_to_brightness_col(l_ma, F.col("k1"), F.col("k2")), "bt_c"),
+        r6(rho, "rho"),
+        r6(CAL.toa_refl_to_radiance_col(rho, F.col("esun"), d, cz), "l_inv"),
+        r6(CAL.apply_6s_coeff_single_col(rho, F.col("ax"), F.col("bx"), F.col("cx")), "sref"),
+        r6(CAL.subtract_offsets_col(rho, F.col("doff"), 0.01), "dos"),
+    )
+
+
+ORACLE_Q119 = f"""
+WITH dnv AS (SELECT DISTINCT p_partkey % 256 AS dn FROM part),
+c AS ({_CAL119_COEFFS_SQL}),
+base AS (
+  SELECT band, dn, lmin, lmax, qcalmin, qcalmax, mult, addv, gain, bias,
+         abscal, effbw, k1, k2, esun, ax, bx, cx, doff,
+         mult * dn + addv AS l_ma
+  FROM dnv CROSS JOIN c
+),
+base2 AS (
+  SELECT *, PI() * l_ma * {_CAL_D} * {_CAL_D} / (esun * {_CAL119_CZ}) AS rho
+  FROM base
+),
+base3 AS (
+  SELECT *, ax * rho - bx AS y6s FROM base2
+)
+SELECT band, dn,
+       ROUND((lmax - lmin) / (qcalmax - qcalmin) * (dn - qcalmin) + lmin, 6) AS l_grad,
+       ROUND(l_ma, 6) AS l_ma,
+       ROUND(dn / gain + bias, 6) AS l_spot5,
+       ROUND(abscal * dn / effbw, 6) AS l_wv2,
+       ROUND(CASE WHEN l_ma > 0
+                  THEN (k2 / LN(k1 / l_ma + 1.0) - 273.15) * 1.0
+                  ELSE 0.0 END, 6) AS bt_c,
+       ROUND(rho, 6) AS rho,
+       ROUND(rho / 1.0 * esun * {_CAL119_CZ} / (PI() * {_CAL_D} * {_CAL_D}), 6) AS l_inv,
+       ROUND(GREATEST(0.0, LEAST(1000.0, y6s / (1.0 + cx * y6s) * 1000.0)), 6) AS sref,
+       ROUND(CASE WHEN rho - doff + 0.01 <= 0 THEN 1.0
+                  ELSE rho - doff + 0.01 END, 6) AS dos
+FROM base3
+"""
+
+
 def q68_distance_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-to-target-pixels (calc_dist_to_img_vals,
     imagecalc/__init__.py:136-236): exact chessboard distance transform
@@ -4135,6 +4227,7 @@ QUERIES_EXT = {
     "q65_trend_fit": q65_trend_fit,
     "q66_band_registration": q66_band_registration,
     "q67_calibration": q67_calibration,
+    "q119_calibration_transforms": q119_calibration_transforms,
     "q56_resample_nearest": q56_resample_nearest,
     "q57_overlay_intersection": q57_overlay_intersection,
     "q58_pixel_band_summary": q58_pixel_band_summary,
@@ -4291,6 +4384,7 @@ ORACLES_EXT = {
     "q69_coarse_pixel_stats": ORACLE_Q69,
     "q66_band_registration": ORACLE_Q66,
     "q67_calibration": ORACLE_Q67,
+    "q119_calibration_transforms": ORACLE_Q119,
     "q56_resample_nearest": ORACLE_Q56,
     "q57_overlay_intersection": ORACLE_Q57,
     "q58_pixel_band_summary": ORACLE_Q58,

@@ -57,3 +57,48 @@ def test_julian_day_and_solar_distance():
     d = CAL.solar_distance(4)  # perihelion ≈ Jan 4 → minimum distance
     assert d == pytest.approx(1.0 - 0.01672)
     assert CAL.solar_distance(185) > 1.0  # aphelion in July
+
+
+def test_calibration_col_builders(spark):
+    """The Catalyst *_col transforms agree with hand-computed references
+    (imagecalibration family, RSGISStandardDN2RadianceCalibration.cpp)."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rsgislib_spark.kernels import calibration as CAL
+
+    df = spark.createDataFrame(pd.DataFrame({"dn": [0, 100, 255]}))
+    d, cz = 1.0163, math.cos(math.radians(30.0))
+    l_ma = CAL.dn_to_radiance_multi_add_col(F.col("dn"), 1.17662, -6.2)
+    rho = CAL.radiance_to_toa_refl_col(l_ma, 1536.0, d, cz)
+    out = df.select(
+        "dn",
+        CAL.dn_to_radiance_grad_col(F.col("dn"), -6.2, 293.7, 1.0, 255.0).alias("lg"),
+        l_ma.alias("lma"),
+        CAL.spot5_to_radiance_col(F.col("dn"), 1.3, 0.0).alias("ls"),
+        CAL.worldview2_to_radiance_col(F.col("dn"), 0.00965, 0.0625).alias("lw"),
+        CAL.thermal_rad_to_brightness_col(l_ma, 774.89, 1321.08).alias("bt"),
+        rho.alias("rho"),
+        CAL.toa_refl_to_radiance_col(rho, 1536.0, d, cz).alias("linv"),
+        CAL.apply_6s_coeff_single_col(rho, 2.5, 0.1, 0.5).alias("sref"),
+        CAL.subtract_offsets_col(rho, 0.02, 0.01).alias("dos"),
+    ).toPandas().set_index("dn")
+
+    r100 = out.loc[100]
+    lma = 1.17662 * 100 - 6.2
+    assert abs(r100.lg - ((293.7 + 6.2) / 254.0 * 99.0 - 6.2)) < 1e-9
+    assert abs(r100.lma - lma) < 1e-12
+    assert abs(r100.ls - 100 / 1.3) < 1e-12
+    assert abs(r100.lw - 0.00965 * 100 / 0.0625) < 1e-12
+    assert abs(r100.bt - (1321.08 / math.log(774.89 / lma + 1) - 273.15)) < 1e-9
+    rho100 = math.pi * lma * d * d / (1536.0 * cz)
+    assert abs(r100.rho - rho100) < 1e-12
+    assert abs(r100.linv - lma) < 1e-9  # exact round-trip
+    y = 2.5 * rho100 - 0.1
+    assert abs(r100.sref - y / (1 + 0.5 * y) * 1000.0) < 1e-9
+    assert abs(r100.dos - (rho100 - 0.01)) < 1e-12
+    # dn=0: negative radiance -> thermal guard 0; dos snaps to 1.0; sref clamps 0
+    r0 = out.loc[0]
+    assert r0.bt == 0.0 and r0.dos == 1.0 and r0.sref == 0.0
