@@ -84,12 +84,72 @@ def nnls_unmix_kernel(X: np.ndarray, endmembers: np.ndarray) -> np.ndarray:
 
 
 def fcls_sum_to_one(a: np.ndarray) -> np.ndarray:
-    """Project abundances onto the sum-to-one simplex the way
-    spec_unmix_spts_fcls's weight formulation drives them: clip at zero
-    then renormalise rows (documented approximation of the fully
-    constrained model — exact FCLS needs a QP solver, env-bound).
+    """Clip-at-zero + row renormalise — the cheap simplex projection
+    some pipelines apply to NNLS output. NOT the FCLS optimum; use
+    `fcls_unmix_kernel` for the exact fully-constrained model.
     All-zero rows (no positive abundance) stay zero."""
     a = np.clip(np.asarray(a, np.float64), 0.0, None)
     s = a.sum(1, keepdims=True)
     s[s == 0] = 1.0
     return a / s
+
+
+def fcls_support_solvers(endmembers: np.ndarray):
+    """Per-support equality-constrained solvers for exact FCLS.
+
+    For every nonempty support S ⊆ {1..k}, the minimizer of
+    ‖x − E_Sᵀa_S‖² subject to 1ᵀa_S = 1 satisfies the KKT system
+    [G_S 1; 1ᵀ 0]·[a_S; λ] = [E_S x; 1] — a LINEAR map of x. Returns
+    [(sel, A, b)] with a_S = A @ x + b (A: |S|×bands, b: |S|).
+    Supports whose KKT matrix is singular are skipped."""
+    E = np.asarray(endmembers, np.float64)
+    k, nb = E.shape
+    if k > 12:
+        raise ValueError("exact-enumeration FCLS supports at most 12 endmembers")
+    G = E @ E.T
+    out = []
+    for mask in range(1, 1 << k):
+        sel = np.array([i for i in range(k) if mask >> i & 1])
+        m = len(sel)
+        K = np.zeros((m + 1, m + 1))
+        K[:m, :m] = G[np.ix_(sel, sel)]
+        K[:m, m] = 1.0
+        K[m, :m] = 1.0
+        try:
+            Kinv = np.linalg.inv(K)
+        except np.linalg.LinAlgError:
+            continue
+        # a_S = Kinv[:m, :m] @ E_S @ x + Kinv[:m, m] · 1
+        A = Kinv[:m, :m] @ E[sel]
+        b = Kinv[:m, m].copy()
+        out.append((sel, A, b))
+    return out
+
+
+def fcls_unmix_kernel(X: np.ndarray, endmembers: np.ndarray) -> np.ndarray:
+    """Batch EXACT fully-constrained least squares
+    (spec_unmix_spts_fcls, specunmixing/__init__.py:418): a ≥ 0 and
+    Σa = 1. Same certification as the NNLS enumeration: the optimum's
+    support solves the equality-constrained problem restricted to that
+    support, so enumerating every support's KKT solution and keeping
+    the feasible minimum-residual candidate IS the FCLS optimum.
+    Vectorized across pixels; X: (n, bands) → (n, k) abundances."""
+    E = np.asarray(endmembers, np.float64)
+    Xa = np.asarray(X, np.float64)
+    n, k = Xa.shape[0], E.shape[0]
+    best_res = np.full(n, np.inf)
+    best_a = np.zeros((n, k))
+    for sel, A, b in fcls_support_solvers(E):
+        a_s = Xa @ A.T + b  # (n, |sel|)
+        feas = (a_s >= -1e-9).all(1)
+        if not feas.any():
+            continue
+        r = Xa - a_s @ E[sel]
+        res = (r * r).sum(1)
+        upd = feas & (res < best_res - 1e-12)
+        if upd.any():
+            best_res[upd] = res[upd]
+            tmp = np.zeros((int(upd.sum()), k))
+            tmp[:, sel] = a_s[upd]
+            best_a[upd] = tmp
+    return best_a

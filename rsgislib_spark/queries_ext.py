@@ -1353,6 +1353,141 @@ FROM s
 """)
 
 
+_FCLS_SUBSET = 41  # ~50 images at sf0.01: enough spectra to hit every support
+_FCLS_E = [[120.0, 30.0, 60.0], [40.0, 200.0, 100.0], [20.0, 60.0, 180.0]]
+
+
+def q120_fcls_unmixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT fully-constrained spectral unmixing (spec_unmix_spts_fcls,
+    specunmixing/__init__.py:418): per-image 3-band spectra (integer-sum
+    means + a key-derived third band, all exactly derivable in SQL) are
+    unmixed against 3 endmembers under a ≥ 0, Σa = 1 via the
+    support-enumeration KKT kernel. The oracle replays the SAME
+    per-support linear solvers (coefficients embedded as shortest
+    round-trip doubles) with the identical feasibility threshold and
+    min-residual selection, so the fully constrained optimum is
+    hash-gated — no approximation."""
+    from rsgislib_spark.functions.unmixing import fcls_unmix_kernel
+    from rsgislib_spark.kernels import bands as BK
+
+    load_views(spark, sf_dir)
+    gi = widen(_geo_images(spark).filter(F.col("image_key") % _FCLS_SUBSET == 0)).select(
+        "image_key", "w", "h"
+    )
+
+    def _spec(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        E = np.asarray(_FCLS_E)
+        for pdf in it:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
+                n = w * h
+                sr = int(BK.synth_band_grid(k, w, h, "red").sum())
+                sn = int(BK.synth_band_grid(k, w, h, "nir").sum())
+                rows.append((k, n, sr, sn))
+            pdf2 = pd.DataFrame(rows, columns=["image_key", "n_px", "sum_red", "sum_nir"])
+            if len(pdf2):
+                X = np.stack(
+                    [
+                        pdf2.sum_red.to_numpy(np.float64) / pdf2.n_px.to_numpy(np.float64)
+                        + (pdf2.image_key.to_numpy(np.int64) % 83),
+                        pdf2.sum_nir.to_numpy(np.float64) / pdf2.n_px.to_numpy(np.float64)
+                        + (pdf2.image_key.to_numpy(np.int64) * 3 % 97),
+                        (pdf2.image_key.to_numpy(np.int64) * 37 % 200).astype(np.float64),
+                    ],
+                    axis=1,
+                )
+                A = fcls_unmix_kernel(X, E)
+                R = X - A @ E
+                pdf2["a1"], pdf2["a2"], pdf2["a3"] = A[:, 0], A[:, 1], A[:, 2]
+                pdf2["res"] = (R * R).sum(1)
+            else:
+                pdf2["a1"] = pdf2["a2"] = pdf2["a3"] = pdf2["res"] = np.float64(0)
+            yield pdf2
+
+    out = gi.mapInPandas(
+        _spec,
+        schema="image_key long, n_px long, sum_red long, sum_nir long, "
+        "a1 double, a2 double, a3 double, res double",
+    )
+    return out.select(
+        "image_key", "n_px", "sum_red", "sum_nir",
+        F.round("a1", 6).alias("a1"),
+        F.round("a2", 6).alias("a2"),
+        F.round("a3", 6).alias("a3"),
+        F.round("res", 4).alias("res"),
+    )
+
+
+def _fcls_oracle_sql() -> str:
+    """Candidate-replay oracle text: per support S the equality-
+    constrained solver a_S = A·x + b (the same numpy-computed
+    coefficients the kernel uses, as shortest-round-trip literals),
+    feasibility a ≥ −1e-9, min-residual ROW_NUMBER selection."""
+    from rsgislib_spark.functions.unmixing import fcls_support_solvers
+
+    E = np.asarray(_FCLS_E)
+    xs = ["mr", "mn", "mb"]
+    cands = []
+    for mi, (sel, A, b) in enumerate(fcls_support_solvers(E)):
+        a_expr = {}
+        for row, j in enumerate(sel):
+            terms = " + ".join(
+                f"({float(A[row, c])!r}) * {xs[c]}" for c in range(3)
+            )
+            a_expr[j] = f"({terms} + ({float(b[row])!r}))"
+        full = [a_expr.get(j, "0.0") for j in range(3)]
+        mix = []
+        for bnd in range(3):
+            mterms = " + ".join(
+                f"{a_expr[j]} * ({float(E[j, bnd])!r})" for j in sel
+            )
+            mix.append(f"({mterms})")
+        res = " + ".join(
+            f"({xs[bnd]} - {mix[bnd]}) * ({xs[bnd]} - {mix[bnd]})" for bnd in range(3)
+        )
+        feas = " AND ".join(f"{a_expr[j]} >= -1e-9" for j in sel)
+        cands.append(
+            f"SELECT image_key, n_px, sum_red, sum_nir, {mi} AS mask, "
+            f"{full[0]} AS a1, {full[1]} AS a2, {full[2]} AS a3, "
+            f"({res}) AS res, CASE WHEN {feas} THEN 1 ELSE 0 END AS feas FROM x"
+        )
+        cands_sql = " UNION ALL ".join(cands)
+    return _cte(f""", s AS (
+  SELECT image_key, COUNT(*) AS n_px,
+         CAST(SUM((image_key * 7 + gx.px * 13 + gy.py * 17) % 251) AS BIGINT) AS sum_red,
+         CAST(SUM((image_key * 11 + gx.px * 5 + gy.py * 3) % 241) AS BIGINT) AS sum_nir
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {_FCLS_SUBSET} = 0
+  GROUP BY image_key
+),
+x AS (
+  SELECT image_key, n_px, sum_red, sum_nir,
+         CAST(sum_red AS DOUBLE) / n_px + (image_key % 83) AS mr,
+         CAST(sum_nir AS DOUBLE) / n_px + (image_key * 3 % 97) AS mn,
+         CAST(image_key * 37 % 200 AS DOUBLE) AS mb
+  FROM s
+),
+cand AS ({cands_sql}),
+pick AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY image_key
+    ORDER BY CASE WHEN feas = 1 THEN res ELSE 1e308 END ASC, mask ASC
+  ) AS rn
+  FROM cand
+)
+SELECT image_key, n_px, sum_red, sum_nir,
+       ROUND(a1, 6) AS a1, ROUND(a2, 6) AS a2, ROUND(a3, 6) AS a3,
+       ROUND(res, 4) AS res
+FROM pick WHERE rn = 1
+""")
+
+
+ORACLE_Q120 = _fcls_oracle_sql()
+
+
 def q116_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data filter (the composite a 100 TB corpus
     pipeline runs): per-document token/repetition quality signals +
@@ -4266,6 +4401,7 @@ QUERIES_EXT = {
     "q114_kfold_regression": q114_kfold_regression,
     "q115_spectral_unmixing": q115_spectral_unmixing,
     "q116_training_filter": q116_training_filter,
+    "q120_fcls_unmixing": q120_fcls_unmixing,
     "q117_polygonise": q117_polygonise,
     "q118_chip_extract": q118_chip_extract,
     "q43_deterministic_sample": q43_deterministic_sample,
@@ -4422,6 +4558,7 @@ ORACLES_EXT = {
     "q114_kfold_regression": ORACLE_Q114,
     "q115_spectral_unmixing": ORACLE_Q115,
     "q116_training_filter": ORACLE_Q116,
+    "q120_fcls_unmixing": ORACLE_Q120,
     "q117_polygonise": ORACLE_Q117,
     "q118_chip_extract": ORACLE_Q118,
     "q43_deterministic_sample": ORACLE_Q43,

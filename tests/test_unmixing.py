@@ -66,3 +66,39 @@ def test_ucls_unmix_catalyst(spark):
     df = spark.createDataFrame(pd.DataFrame({"b1": X[:, 0], "b2": X[:, 1]}))
     out = ucls_unmix(df, ["b1", "b2"], E).toPandas()
     assert np.allclose(out[["ab1", "ab2"]].to_numpy(), A, atol=1e-8)
+
+
+def test_fcls_exact_kkt_certified():
+    """fcls_unmix_kernel output satisfies the FCLS KKT conditions:
+    simplex-feasible, gradient equal on the support (= -lambda), and
+    gradient >= -lambda off-support (nonneg multipliers)."""
+    import numpy as np
+    from rsgislib_spark.functions.unmixing import fcls_unmix_kernel
+
+    rng = np.random.RandomState(42)
+    E = np.array([[120.0, 30.0, 60.0], [40.0, 200.0, 100.0], [20.0, 60.0, 180.0]])
+    X = rng.rand(300, 3) * 300
+    A = fcls_unmix_kernel(X, E)
+    assert (A >= -1e-9).all()
+    assert np.allclose(A.sum(1), 1.0, atol=1e-9)
+    G = 2.0 * (A @ E - X) @ E.T  # gradient wrt a
+    for i in range(len(X)):
+        sup = A[i] > 1e-8
+        lam = -G[i][sup]
+        assert np.ptp(lam) < 1e-6  # equal gradient on support
+        if (~sup).any():
+            assert (G[i][~sup] >= lam.mean() * -1 - 1e-6).all()
+
+
+def test_fcls_interior_matches_closed_form():
+    """For x strictly inside the endmember simplex, FCLS returns the
+    exact barycentric coordinates (residual 0)."""
+    import numpy as np
+    from rsgislib_spark.functions.unmixing import fcls_unmix_kernel
+
+    E = np.array([[120.0, 30.0, 60.0], [40.0, 200.0, 100.0], [20.0, 60.0, 180.0]])
+    w = np.array([[0.5, 0.3, 0.2], [0.1, 0.1, 0.8]])
+    X = w @ E
+    A = fcls_unmix_kernel(X, E)
+    assert np.allclose(A, w, atol=1e-9)
+    assert np.allclose(X - A @ E, 0.0, atol=1e-9)
