@@ -1,4 +1,4 @@
-"""Clustering — deterministic k-means (and an ISODATA-lite variant) as
+"""Clustering — deterministic k-means and full ISODATA (discard / merge-remove / split) as
 iterative groupBy-centroid loops, the Spark shape of the reference's
 ``kmeans_clustering`` / ``isodata_clustering``
 (python/src/imagecalc.cpp:1888-1942; init methods enum
@@ -80,6 +80,64 @@ def kmeans_fit(
     return cents
 
 
+def _isodata_add_remove(
+    clusters: list,
+    min_cluster_size: int,
+    min_dist_clusters: float,
+    max_std_dev: float,
+    min_n_clusters: int,
+) -> list:
+    """Driver-side replay of the reference's addRemoveClusters
+    (RSGISISODataClusterer, src/math/RSGISClustering.cpp:1061-1146):
+
+    1. While more than ``min_n_clusters`` remain, iterate in list order:
+       drop clusters with fewer than ``min_cluster_size`` members, then
+       drop the CURRENT cluster if any still-listed cluster with a
+       different centre lies within ``min_dist_clusters`` (euclidean) —
+       the same sequential erase-while-iterating semantics.
+    2. Split every survivor whose MEAN per-dim stddev exceeds
+       ``max_std_dev`` and whose size exceeds 2·min_cluster_size: the
+       new cluster sits at centre − σ/2 per dim, the original moves to
+       centre + σ/2; new clusters append in iteration order.
+
+    ``clusters`` is a list of dicts {centre, std, n}; returns the new list.
+    """
+    cl = [dict(c) for c in clusters]
+    if len(cl) > min_n_clusters:
+        i = 0
+        while i < len(cl):
+            if cl[i]["n"] < min_cluster_size:
+                del cl[i]
+                continue
+            removed = False
+            for j in range(len(cl)):
+                if all(a == b for a, b in zip(cl[j]["centre"], cl[i]["centre"])):
+                    continue
+                d = (
+                    sum((a - b) ** 2 for a, b in zip(cl[j]["centre"], cl[i]["centre"]))
+                    ** 0.5
+                )
+                if d < min_dist_clusters:
+                    del cl[i]
+                    removed = True
+                    break
+            if not removed:
+                i += 1
+    new = []
+    for c in cl:
+        mean_std = sum(c["std"]) / len(c["std"])
+        if mean_std > max_std_dev and c["n"] > min_cluster_size * 2:
+            new.append(
+                {
+                    "centre": [m - s / 2 for m, s in zip(c["centre"], c["std"])],
+                    "std": [0.0] * len(c["std"]),
+                    "n": 0,
+                }
+            )
+            c["centre"] = [m + s / 2 for m, s in zip(c["centre"], c["std"])]
+    return cl + new
+
+
 def isodata_fit(
     df: DataFrame,
     feat_cols: Sequence[str],
@@ -87,23 +145,43 @@ def isodata_fit(
     n_iter: int = 10,
     min_cluster_size: int = 1,
     id_col: str | None = None,
+    min_dist_clusters: float = 0.0,
+    max_std_dev: float = float("inf"),
+    min_n_clusters: int = 1,
 ) -> list:
-    """ISODATA-lite: k-means iterations, but clusters falling under
-    ``min_cluster_size`` are DROPPED (their points re-assign next round)
-    — the discard half of the reference's isodata (split is not
-    implemented; documented gap)."""
+    """ISODATA (isodata_clustering, imagecalc.cpp:1888-1942; clusterer
+    src/math/RSGISClustering.cpp:949-1146): k-means assign/update
+    rounds, then the add/remove/split pass each round — small clusters
+    discarded, near-duplicate centres removed (sequential rule), and
+    high-variance clusters split ±σ/2 about the mean. Per-cluster σ is
+    the population stddev from (n, Σx, Σx²) moment sums — one extra
+    aggregate column per feature, still a single shuffle per round."""
     cents = kmeans_fit(df, feat_cols, k=k, n_iter=1, id_col=id_col)
     for _ in range(n_iter):
         assigned = kmeans_assign(df, feat_cols, cents)
         stats = assigned.groupBy("cluster").agg(
             F.count("*").alias("n"),
             *[F.sum(F.col(c).cast("double")).alias(f"s_{c}") for c in feat_cols],
+            *[
+                F.sum(F.col(c).cast("double") * F.col(c).cast("double")).alias(f"q_{c}")
+                for c in feat_cols
+            ],
         ).collect()
-        keep = []
+        clusters = []
         for r in sorted(stats, key=lambda r: int(r["cluster"])):
-            if int(r["n"]) >= min_cluster_size:
-                keep.append([float(r[f"s_{c}"]) / float(r["n"]) for c in feat_cols])
-        if not keep:
+            n = int(r["n"])
+            mean = [float(r[f"s_{c}"]) / n for c in feat_cols]
+            std = [
+                max(float(r[f"q_{c}"]) / n - m * m, 0.0) ** 0.5
+                for c, m in zip(feat_cols, mean)
+            ]
+            clusters.append({"centre": mean, "std": std, "n": n})
+        if not clusters:
             return cents
-        cents = keep
+        clusters = _isodata_add_remove(
+            clusters, min_cluster_size, min_dist_clusters, max_std_dev, min_n_clusters
+        )
+        if not clusters:
+            return cents
+        cents = [c["centre"] for c in clusters]
     return cents

@@ -1353,6 +1353,111 @@ FROM s
 """)
 
 
+def q121_isodata_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISODATA with the SPLIT step (isodata_clustering,
+    imagecalc.cpp:1888-1942; addRemoveClusters split rule
+    src/math/RSGISClustering.cpp:1113-1141): init k=4 → one Lloyd
+    update → one assign/moments round → clusters whose mean per-dim σ
+    exceeds the threshold (and n > 2·min_size) split into centre ± σ/2
+    → final assignment per split centre set. All sums are integer-exact
+    doubles, so every branch decision (who splits) is bit-identical to
+    the relational oracle's unroll."""
+    from rsgislib_spark.functions.clustering import isodata_fit, kmeans_assign
+
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark).select("pt_id", "f1", "f2", "f3")
+    feats = ["f1", "f2", "f3"]
+    cents = isodata_fit(
+        pts, feats, k=4, n_iter=1, min_cluster_size=1, id_col="pt_id",
+        min_dist_clusters=0.0, max_std_dev=450.0, min_n_clusters=1,
+    )
+    final = kmeans_assign(pts, feats, cents)
+    return final.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.sum(F.col(c).cast("double")) / F.count("*"), 6).alias(f"mean_{c}")
+            for c in feats
+        ],
+    )
+
+
+ORACLE_Q121 = _cte("""
+, pts AS (
+  SELECT pt_id, CAST(f1 AS DOUBLE) AS f1, CAST(f2 AS DOUBLE) AS f2,
+         CAST(f3 AS DOUBLE) AS f3
+  FROM geo_points
+), init AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY pt_id) - 1 AS c, f1 AS m1, f2 AS m2, f3 AS m3
+  FROM pts ORDER BY pt_id LIMIT 4
+), a1 AS (
+  SELECT pt_id, f1, f2, f3, c FROM (
+    SELECT p.pt_id, p.f1, p.f2, p.f3, i.c,
+           ROW_NUMBER() OVER (PARTITION BY p.pt_id ORDER BY
+             (p.f1 - i.m1) * (p.f1 - i.m1) + (p.f2 - i.m2) * (p.f2 - i.m2)
+             + (p.f3 - i.m3) * (p.f3 - i.m3) ASC, i.c ASC) AS rn
+    FROM pts p CROSS JOIN init i
+  ) t WHERE rn = 1
+), upd AS (
+  SELECT c, COUNT(*) AS n, SUM(f1) AS sf1, SUM(f2) AS sf2, SUM(f3) AS sf3
+  FROM a1 GROUP BY c
+), kcent AS (
+  SELECT i.c,
+         COALESCE(u.sf1 / u.n, i.m1) AS m1,
+         COALESCE(u.sf2 / u.n, i.m2) AS m2,
+         COALESCE(u.sf3 / u.n, i.m3) AS m3
+  FROM init i LEFT JOIN upd u ON u.c = i.c
+), a2 AS (
+  SELECT pt_id, f1, f2, f3, c FROM (
+    SELECT p.pt_id, p.f1, p.f2, p.f3, k.c,
+           ROW_NUMBER() OVER (PARTITION BY p.pt_id ORDER BY
+             (p.f1 - k.m1) * (p.f1 - k.m1) + (p.f2 - k.m2) * (p.f2 - k.m2)
+             + (p.f3 - k.m3) * (p.f3 - k.m3) ASC, k.c ASC) AS rn
+    FROM pts p CROSS JOIN kcent k
+  ) t WHERE rn = 1
+), mom AS (
+  SELECT c, COUNT(*) AS n,
+         SUM(f1) AS s1, SUM(f2) AS s2, SUM(f3) AS s3,
+         SUM(f1 * f1) AS q1, SUM(f2 * f2) AS q2, SUM(f3 * f3) AS q3
+  FROM a2 GROUP BY c
+), stat AS (
+  SELECT c, n, s1 / n AS m1, s2 / n AS m2, s3 / n AS m3,
+         SQRT(GREATEST(q1 / n - (s1 / n) * (s1 / n), 0.0)) AS d1,
+         SQRT(GREATEST(q2 / n - (s2 / n) * (s2 / n), 0.0)) AS d2,
+         SQRT(GREATEST(q3 / n - (s3 / n) * (s3 / n), 0.0)) AS d3
+  FROM mom
+), surv AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY c) - 1 AS pos,
+         (SELECT COUNT(*) FROM stat) AS n_surv,
+         CASE WHEN (d1 + d2 + d3) / 3 > 450.0 AND n > 2 THEN 1 ELSE 0 END AS splits,
+         c, n, m1, m2, m3, d1, d2, d3
+  FROM stat
+), cents3 AS (
+  SELECT pos AS c,
+         CASE WHEN splits = 1 THEN m1 + d1 / 2 ELSE m1 END AS m1,
+         CASE WHEN splits = 1 THEN m2 + d2 / 2 ELSE m2 END AS m2,
+         CASE WHEN splits = 1 THEN m3 + d3 / 2 ELSE m3 END AS m3
+  FROM surv
+  UNION ALL
+  SELECT n_surv + ROW_NUMBER() OVER (ORDER BY c) - 1 AS c,
+         m1 - d1 / 2 AS m1, m2 - d2 / 2 AS m2, m3 - d3 / 2 AS m3
+  FROM surv WHERE splits = 1
+), a3 AS (
+  SELECT pt_id, f1, f2, f3, c FROM (
+    SELECT p.pt_id, p.f1, p.f2, p.f3, k.c,
+           ROW_NUMBER() OVER (PARTITION BY p.pt_id ORDER BY
+             (p.f1 - k.m1) * (p.f1 - k.m1) + (p.f2 - k.m2) * (p.f2 - k.m2)
+             + (p.f3 - k.m3) * (p.f3 - k.m3) ASC, k.c ASC) AS rn
+    FROM pts p CROSS JOIN cents3 k
+  ) t WHERE rn = 1
+)
+SELECT c AS cluster, COUNT(*) AS n,
+       ROUND(SUM(f1) / COUNT(*), 6) AS mean_f1,
+       ROUND(SUM(f2) / COUNT(*), 6) AS mean_f2,
+       ROUND(SUM(f3) / COUNT(*), 6) AS mean_f3
+FROM a3 GROUP BY c
+""")
+
+
 _FCLS_SUBSET = 41  # ~50 images at sf0.01: enough spectra to hit every support
 _FCLS_E = [[120.0, 30.0, 60.0], [40.0, 200.0, 100.0], [20.0, 60.0, 180.0]]
 
@@ -4402,6 +4507,7 @@ QUERIES_EXT = {
     "q115_spectral_unmixing": q115_spectral_unmixing,
     "q116_training_filter": q116_training_filter,
     "q120_fcls_unmixing": q120_fcls_unmixing,
+    "q121_isodata_split": q121_isodata_split,
     "q117_polygonise": q117_polygonise,
     "q118_chip_extract": q118_chip_extract,
     "q43_deterministic_sample": q43_deterministic_sample,
@@ -4559,6 +4665,7 @@ ORACLES_EXT = {
     "q115_spectral_unmixing": ORACLE_Q115,
     "q116_training_filter": ORACLE_Q116,
     "q120_fcls_unmixing": ORACLE_Q120,
+    "q121_isodata_split": ORACLE_Q121,
     "q117_polygonise": ORACLE_Q117,
     "q118_chip_extract": ORACLE_Q118,
     "q43_deterministic_sample": ORACLE_Q43,

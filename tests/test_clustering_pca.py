@@ -153,3 +153,36 @@ def test_mnf_fit_apply(spark):
     # whitening the full data gives unit covariance
     aw = zca_whitening_matrix(cf)
     assert np.allclose(aw @ cf @ aw, np.eye(2), atol=1e-10)
+
+
+def test_isodata_add_remove_replay():
+    """Unit replay of addRemoveClusters (RSGISClustering.cpp:1061-1146):
+    discard-small, sequential near-centre removal, mean-sigma split."""
+    from rsgislib_spark.functions.clustering import _isodata_add_remove
+
+    mk = lambda c, s, n: {"centre": list(c), "std": list(s), "n": n}
+    # split: mean std 30 > 20 and n=10 > 2*2 -> centre +/- std/2
+    out = _isodata_add_remove([mk([10.0, 20.0], [20.0, 40.0], 10)], 2, 0.0, 20.0, 1)
+    assert len(out) == 2
+    assert out[0]["centre"] == [20.0, 40.0]   # + sigma/2
+    assert out[1]["centre"] == [0.0, 0.0]     # - sigma/2 appended
+    # no split when too small (n <= 2*min)
+    out = _isodata_add_remove([mk([10.0, 20.0], [20.0, 40.0], 4)], 2, 0.0, 20.0, 1)
+    assert len(out) == 1
+    # discard small
+    out = _isodata_add_remove(
+        [mk([0.0, 0.0], [1.0, 1.0], 1), mk([9.0, 9.0], [1.0, 1.0], 50)], 5, 0.0, 99.0, 1
+    )
+    assert len(out) == 1 and out[0]["centre"] == [9.0, 9.0]
+    # sequential close-removal: first of the close pair is erased, survivor kept
+    out = _isodata_add_remove(
+        [mk([0.0, 0.0], [1.0, 1.0], 9), mk([0.5, 0.0], [1.0, 1.0], 9),
+         mk([50.0, 0.0], [1.0, 1.0], 9)],
+        1, 2.0, 99.0, 1,
+    )
+    assert [c["centre"][0] for c in out] == [0.5, 50.0]
+    # min_n_clusters guard: no removals at/below the floor
+    out = _isodata_add_remove(
+        [mk([0.0, 0.0], [1.0, 1.0], 1)], 5, 10.0, 99.0, 1
+    )
+    assert len(out) == 1
