@@ -556,10 +556,15 @@ GROUP BY f.image_key
 def q103_shepherd_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full Shepherd pipeline per image (run_shepherd_segmentation,
     segmentation/shepherdseg.py:68-398): k-means → clump equal-labelled
-    regions → stepwise eliminate → relabel. Iterative k-means +
-    2-D connected components are not SQL-expressible — rows-only;
-    the elimination core is oracle-gated by q102 and the kernel by
-    tests/test_segmentation.py."""
+    regions → stepwise eliminate → relabel. HASH-GATED since round 4:
+    the oracle replays the whole pipeline relationally — the 1-D
+    k-means collapses to the per-image VALUE HISTOGRAM (assignment is
+    value-determined; centroid updates are exact integer-weighted
+    means), connected components is a recursive-CTE min-index
+    propagation (labels ARE min linear pixel indices, exactly
+    label_components' convention), and the five elimination rounds
+    unroll with the same argmin/tie-break/pointer-squaring arithmetic.
+    All sums are integers, so every branch decision matches bit-for-bit."""
     from rsgislib_spark.operators.segmentation import shepherd_segment_images
 
     load_views(spark, sf_dir)
@@ -567,6 +572,130 @@ def q103_shepherd_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_key", "w", "h"
     )
     return shepherd_segment_images(gi, num_clusters=6, min_size=5, dist_thres=1e9)
+
+
+def _shepherd_oracle_sql(k: int = 6, max_iter: int = 20, min_size: int = 5) -> str:
+    """Relational replay of shepherd_segment (see q103 docstring)."""
+    from rsgislib_spark.qcommon import GEO_IMAGES_SQL
+
+    # per-direction equi-joins (an OR-of-directions join degrades to a
+    # nested loop); undirected right/down pairs + the UNION of reversals
+    # reproduce the directed 4-adjacency set
+    def _dir_pairs(src: str, sel: str, extra: str = "") -> str:
+        right = (f"SELECT a.image_key, {sel} FROM {src} a JOIN {src} b "
+                 f"ON b.image_key = a.image_key AND b.py = a.py "
+                 f"AND b.px = a.px + 1{extra}")
+        down = (f"SELECT a.image_key, {sel} FROM {src} a JOIN {src} b "
+                f"ON b.image_key = a.image_key AND b.px = a.px "
+                f"AND b.py = a.py + 1{extra}")
+        rsel = sel.replace("a.", "@T@").replace("b.", "a.").replace("@T@", "b.")
+        rright = right.replace(f"SELECT a.image_key, {sel} ", f"SELECT a.image_key, {rsel} ")
+        rdown = down.replace(f"SELECT a.image_key, {sel} ", f"SELECT a.image_key, {rsel} ")
+        return " UNION ALL ".join([right, down, rright, rdown])
+    p = [f"""WITH RECURSIVE geo_images AS ({GEO_IMAGES_SQL}),
+px0 AS MATERIALIZED (
+  SELECT image_key, w, gy.py * w + gx.px AS idx, gx.px AS px, gy.py AS py,
+         CAST((image_key * 7 + gx.px * 13 + gy.py * 17) % 251 AS DOUBLE) AS val
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+),
+hist AS MATERIALIZED (SELECT image_key, val, COUNT(*) AS cnt FROM px0 GROUP BY 1, 2),
+bounds AS MATERIALIZED (SELECT image_key, MIN(val) AS lo, MAX(val) AS hi FROM hist GROUP BY 1),
+cent0 AS MATERIALIZED (
+  SELECT b.image_key, ks.c, b.lo + ((ks.c + 0.5) / {k}) * (b.hi - b.lo) AS m
+  FROM bounds b, LATERAL (SELECT unnest(generate_series(0, {k - 1})) AS c) ks
+)"""]
+    for i in range(1, max_iter + 1):
+        p.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT image_key, val, cnt, c FROM (
+    SELECT h.image_key, h.val, h.cnt, ct.c,
+           ROW_NUMBER() OVER (PARTITION BY h.image_key, h.val ORDER BY
+             (h.val - ct.m) * (h.val - ct.m) ASC, ct.c ASC) AS rn
+    FROM hist h JOIN cent{i - 1} ct ON ct.image_key = h.image_key
+  ) t WHERE rn = 1
+)""")
+        if i < max_iter:
+            p.append(f""",
+cent{i} AS MATERIALIZED (
+  SELECT pc.image_key, pc.c, COALESCE(u.s / u.n, pc.m) AS m
+  FROM cent{i - 1} pc LEFT JOIN (
+    SELECT image_key, c, SUM(val * cnt) AS s, SUM(cnt) AS n
+    FROM a{i} GROUP BY 1, 2
+  ) u ON u.image_key = pc.image_key AND u.c = pc.c
+)""")
+    p.append(f""",
+kmz AS MATERIALIZED (
+  SELECT p0.image_key, p0.idx, p0.px, p0.py, p0.val, aa.c AS km
+  FROM px0 p0 JOIN a{max_iter} aa
+    ON aa.image_key = p0.image_key AND aa.val = p0.val
+),
+edges AS MATERIALIZED (
+  {_dir_pairs("kmz", "a.idx AS i1, b.idx AS i2", " AND b.km = a.km")}
+),
+relax AS (
+  SELECT image_key, idx, idx AS lab FROM kmz
+  UNION
+  SELECT e.image_key, e.i2 AS idx, r.lab
+  FROM relax r JOIN edges e ON e.image_key = r.image_key AND e.i1 = r.idx
+  WHERE r.lab < e.i2
+),
+cc AS MATERIALIZED (SELECT image_key, idx, MIN(lab) AS lab FROM relax GROUP BY 1, 2),
+pxr0 AS MATERIALIZED (
+  SELECT p0.image_key, p0.px, p0.py, p0.val, c.lab
+  FROM px0 p0 JOIN cc c ON c.image_key = p0.image_key AND c.idx = p0.idx
+)""")
+    for r in range(1, min_size + 1):
+        p.append(f""",
+sz{r} AS MATERIALIZED (SELECT image_key, lab, COUNT(*) AS n, SUM(val) AS s
+          FROM pxr{r - 1} GROUP BY 1, 2),
+adj{r} AS MATERIALIZED (
+  SELECT DISTINCT image_key, la, lb FROM (
+    {_dir_pairs(f"pxr{r - 1}", "a.lab AS la, b.lab AS lb")}
+  ) u WHERE la <> lb
+),
+mrg{r} AS MATERIALIZED (
+  SELECT image_key, la, lb FROM (
+    SELECT pj.image_key, pj.la, pj.lb,
+           ROW_NUMBER() OVER (PARTITION BY pj.image_key, pj.la ORDER BY
+             (sa.s / sa.n - sb.s / sb.n) * (sa.s / sa.n - sb.s / sb.n) ASC,
+             pj.lb ASC) AS rn
+    FROM adj{r} pj
+    JOIN sz{r} sa ON sa.image_key = pj.image_key AND sa.lab = pj.la
+    JOIN sz{r} sb ON sb.image_key = pj.image_key AND sb.lab = pj.lb
+    WHERE sa.n <= {r} AND sa.n < {min_size} AND sb.n > sa.n
+  ) t WHERE rn = 1
+),
+ptr{r}_0 AS MATERIALIZED (
+  SELECT s.image_key, s.lab, COALESCE(m.lb, s.lab) AS dst
+  FROM sz{r} s LEFT JOIN mrg{r} m
+    ON m.image_key = s.image_key AND m.la = s.lab
+)""")
+        for j in range(1, min_size + 1):
+            p.append(f""",
+ptr{r}_{j} AS MATERIALIZED (
+  SELECT pp.image_key, pp.lab, qq.dst
+  FROM ptr{r}_{j - 1} pp JOIN ptr{r}_{j - 1} qq
+    ON qq.image_key = pp.image_key AND qq.lab = pp.dst
+)""")
+        p.append(f""",
+pxr{r} AS MATERIALIZED (
+  SELECT pq.image_key, pq.px, pq.py, pq.val, t.dst AS lab
+  FROM pxr{r - 1} pq JOIN ptr{r}_{min_size} t
+    ON t.image_key = pq.image_key AND t.lab = pq.lab
+)""")
+    p.append(f""",
+segsz AS MATERIALIZED (SELECT image_key, lab, COUNT(*) AS n FROM pxr{min_size} GROUP BY 1, 2)
+SELECT image_key, COUNT(*) AS n_segments,
+       MIN(n) AS min_seg_px, MAX(n) AS max_seg_px
+FROM segsz GROUP BY image_key
+""")
+    return "".join(p)
+
+
+ORACLE_Q103 = _shepherd_oracle_sql()
 
 
 def q104_accuracy_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,7 +803,7 @@ px AS MATERIALIZED (
   LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
   LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
   WHERE image_key % {FOCAL_SUBSET} = 0
-), hist AS (SELECT image_key, v, COUNT(*) AS n FROM px GROUP BY 1, 2),
+), hist AS MATERIALIZED (SELECT image_key, v, COUNT(*) AS n FROM px GROUP BY 1, 2),
 cum AS (
   SELECT image_key, v,
          CAST(SUM(n) OVER (PARTITION BY image_key ORDER BY v) AS BIGINT) AS c1,
@@ -1191,7 +1320,7 @@ def q113_otsu_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q113 = _cte("""
 , pts AS (
   SELECT pt_id, pt_id % 4 AS cls, CAST(v AS BIGINT) AS v FROM geo_points
-), hist AS (SELECT cls, v, COUNT(*) AS n FROM pts GROUP BY 1, 2),
+), hist AS MATERIALIZED (SELECT cls, v, COUNT(*) AS n FROM pts GROUP BY 1, 2),
 cum AS (
   SELECT cls, v,
          CAST(SUM(n) OVER (PARTITION BY cls ORDER BY v) AS BIGINT) AS c1,
@@ -2047,7 +2176,7 @@ WITH RECURSIVE toks AS (
   FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
              JOIN sizes sb ON inter.id_b = sb.doc_id
   WHERE ROUND(CAST(inter AS DOUBLE) / (sa.n_tok + sb.n_tok - inter), 6) >= 0.8
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs
   UNION SELECT id_b, id_a FROM pairs
 ), reach(u, v) AS (
@@ -4011,7 +4140,7 @@ def q83_neigh_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_Q83 = _cte("""
 , vals AS (
   SELECT zone_id, CAST((maxx - minx) * (maxy - miny) AS BIGINT) AS v FROM geo_zones
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT a.zone_id AS zone_a, b.zone_id AS zone_b
   FROM geo_zones a JOIN geo_zones b
   ON a.zone_id < b.zone_id
@@ -4651,6 +4780,7 @@ ORACLES_EXT = {
     "q100_stat_filters": ORACLE_Q100,
     "q101_morph_se": ORACLE_Q101,
     "q102_eliminate_clumps": ORACLE_Q102,
+    "q103_shepherd_segmentation": ORACLE_Q103,
     "q104_accuracy_metrics": ORACLE_Q104,
     "q105_otsu_threshold": ORACLE_Q105,
     "q106_spectral_smoothing": ORACLE_Q106,
