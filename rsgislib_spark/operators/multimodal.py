@@ -53,26 +53,38 @@ def image_features(images: DataFrame) -> DataFrame:
     the input_hint table (image_id, bytes, w, h, fmt, ...)."""
     from rsgislib_spark.kernels.phash import phash64
 
-    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for rec in pdf.itertuples(index=False):
-                img = codecs.decode_image(bytes(rec.bytes), rec.fmt, int(rec.h), int(rec.w))
+    def _run(it):
+        import pyarrow as pa
+
+        for b in it:  # mapInArrow: no pandas bytes-object materialization
+            if not b.num_rows:
+                continue
+            cols = {name: b.column(i) for i, name in enumerate(b.schema.names)}
+            ids = cols["image_id"].to_pylist()
+            hs = cols["h"].to_numpy(zero_copy_only=False)
+            ws = cols["w"].to_numpy(zero_copy_only=False)
+            fmts = cols["fmt"].to_pylist()
+            views = codecs.arrow_binary_views(cols["bytes"])
+            means, stds, thumbs, hashes = [], [], [], []
+            for k in range(b.num_rows):
+                img = codecs.decode_image(views[k], fmts[k], int(hs[k]), int(ws[k]))
                 thumb = resize_nearest(img, 4, 4).astype(np.float64)
-                rows.append(
-                    (
-                        rec.image_id,
-                        float(img.mean()),
-                        float(img.std()),
-                        [float(v) for v in thumb.ravel()],
-                        int(phash64(img)),
-                    )
-                )
-            yield pd.DataFrame(
-                rows, columns=["image_id", "px_mean", "px_std", "thumb16", "phash"]
+                means.append(float(img.mean()))
+                stds.append(float(img.std()))
+                thumbs.append(thumb.ravel().tolist())
+                hashes.append(int(phash64(img)))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.string()),
+                    pa.array(means, pa.float64()),
+                    pa.array(stds, pa.float64()),
+                    pa.array(thumbs, pa.list_(pa.float64())),
+                    pa.array(hashes, pa.int64()),
+                ],
+                names=["image_id", "px_mean", "px_std", "thumb16", "phash"],
             )
 
-    return images.mapInPandas(
+    return images.select("image_id", "bytes", "w", "h", "fmt").mapInArrow(
         _run,
         schema="image_id string, px_mean double, px_std double, thumb16 array<double>, phash long",
     )

@@ -68,20 +68,36 @@ def tile_images(
         raise ValueError(f"mode must be one of {_MODES}")
     src = images.select("image_id", "bytes", "w", "h", "fmt", "minx", "miny")
 
-    def _tile(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
+    def _tile(it):
+        # mapInArrow both ways: binary payload columns never round-trip
+        # through pandas object arrays (input decode views are zero-copy
+        # Arrow buffer slices; output tile payloads go straight into an
+        # Arrow binary array).
+        import pyarrow as pa
+
+        for b in it:
+            if not b.num_rows:
+                continue
+            cols = {name: b.column(i) for i, name in enumerate(b.schema.names)}
+            ids = cols["image_id"].to_pylist()
+            ws = cols["w"].to_numpy(zero_copy_only=False)
+            hs = cols["h"].to_numpy(zero_copy_only=False)
+            minxs = cols["minx"].to_numpy(zero_copy_only=False)
+            minys = cols["miny"].to_numpy(zero_copy_only=False)
+            fmts = cols["fmt"].to_pylist()
+            views = codecs.arrow_binary_views(cols["bytes"])
             out = {k: [] for k in
                    ("image_id", "tile_x", "tile_y", "x0", "y0", "tw", "th", "pixels", "cell")}
-            for rec in pdf.itertuples(index=False):
-                w, h = int(rec.w), int(rec.h)
-                img = codecs.decode_image(rec.bytes, rec.fmt, h, w)
+            for r in range(b.num_rows):
+                w, h = int(ws[r]), int(hs[r])
+                img = codecs.decode_image(views[r], fmts[r], h, w)
                 wins = tile_windows(mode, w, h, tile_w, tile_h, overlap, offset)
-                maxy = rec.miny + h * pixel_size
-                cx = rec.minx + (wins[:, 2] + wins[:, 4] / 2.0) * pixel_size
+                maxy = minys[r] + h * pixel_size
+                cx = minxs[r] + (wins[:, 2] + wins[:, 4] / 2.0) * pixel_size
                 cy = maxy - (wins[:, 3] + wins[:, 5] / 2.0) * pixel_size
                 cc = cells.encode_point(cx, cy, res)
                 for k, (tx, ty, x0, y0, tw, th) in enumerate(wins):
-                    out["image_id"].append(rec.image_id)
+                    out["image_id"].append(ids[r])
                     out["tile_x"].append(int(tx))
                     out["tile_y"].append(int(ty))
                     out["x0"].append(int(x0))
@@ -92,9 +108,23 @@ def tile_images(
                         np.ascontiguousarray(img[y0 : y0 + th, x0 : x0 + tw]).tobytes()
                     )
                     out["cell"].append(int(cc[k]))
-            yield pd.DataFrame(out)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["image_id"], pa.string()),
+                    pa.array(out["tile_x"], pa.int32()),
+                    pa.array(out["tile_y"], pa.int32()),
+                    pa.array(out["x0"], pa.int32()),
+                    pa.array(out["y0"], pa.int32()),
+                    pa.array(out["tw"], pa.int32()),
+                    pa.array(out["th"], pa.int32()),
+                    pa.array(out["pixels"], pa.binary()),
+                    pa.array(out["cell"], pa.int64()),
+                ],
+                names=["image_id", "tile_x", "tile_y", "x0", "y0",
+                       "tw", "th", "pixels", "cell"],
+            )
 
-    return src.mapInPandas(_tile, schema=TILE_SCHEMA)
+    return src.mapInArrow(_tile, schema=TILE_SCHEMA)
 
 
 def tile_manifest(tiles: DataFrame) -> DataFrame:

@@ -606,71 +606,91 @@ def _zone_partials_decoded(zindex_b, tile: int, radius: int):
     CHUNK stacks like the synthetic path."""
     from rsgislib_spark.kernels import codecs
 
-    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _run(it):
+        import pyarrow as pa
+
         zx = zindex_b.value
-        batches = [p for p in it if len(p)]
+        # Arrow RecordBatches, NOT pandas: converting a binary column to
+        # pandas materializes one Python bytes object per row — measured
+        # 4.4× slower end-to-end than reading the Arrow buffers directly
+        # (22.1 s vs 5.0 s pass-through on the 50k-image bench table).
+        batches = [b for b in it if b.num_rows]
         if not batches:
             return
-        for pdf in [pd.concat(batches, ignore_index=True) if len(batches) > 1 else batches[0]]:
-            ws = pdf["w"].to_numpy(np.int32)
-            hs = pdf["h"].to_numpy(np.int32)
-            bbox = pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(np.float64)
-            bufs = pdf["bytes"]
-            fmts = pdf["fmt"]
-            n = len(pdf)
-            order = np.lexsort((np.arange(n), hs, ws))
-            sum_v = np.empty(n, np.int64)
-            min_v = np.empty(n, np.int64)
-            max_v = np.empty(n, np.int64)
-            focal_sum = np.empty(n, np.int64)
-            focal_cnt = np.empty(n, np.int64)
-            n_tiles = np.empty(n, np.int64)
-            n_px = np.empty(n, np.int64)
-            i = 0
-            while i < n:
-                w, h = int(ws[order[i]]), int(hs[order[i]])
-                j = i
-                while j < n and ws[order[j]] == w and hs[order[j]] == h:
-                    j += 1
-                for c0 in range(i, j, CHUNK):
-                    c1 = min(c0 + CHUNK, j)
-                    stack = np.empty((c1 - c0, h, w), dtype=np.uint8)
-                    for t, oi in enumerate(order[c0:c1]):
-                        stack[t] = codecs.decode_image(
-                            bufs.iloc[oi], fmts.iloc[oi], h, w
-                        )
-                    s, mn, mx, fsum, fcnt = _stats_from_grid(stack, radius)
-                    sum_v[c0:c1] = s
-                    min_v[c0:c1] = mn
-                    max_v[c0:c1] = mx
-                    focal_sum[c0:c1] = fsum
-                    focal_cnt[c0:c1] = fcnt
-                n_tiles[i:j] = -(-w // tile) * -(-h // tile)
-                n_px[i:j] = w * h
-                i = j
-            rects = bbox[order]
-            qi, zi = zx.match(rects, "intersects")
-            if not len(qi):
-                continue
-            m = pd.DataFrame(
-                {
-                    "zone_id": zx.zone_ids[zi],
-                    "n_tiles": n_tiles[qi], "n_px": n_px[qi],
-                    "sum_v": sum_v[qi], "min_v": min_v[qi], "max_v": max_v[qi],
-                    "focal_sum": focal_sum[qi], "focal_cnt": focal_cnt[qi],
-                }
+        ws_l, hs_l, bbox_l, bufs, fmts = [], [], [], [], []
+        for b in batches:
+            cols = {name: b.column(i) for i, name in enumerate(b.schema.names)}
+            ws_l.append(cols["w"].to_numpy(zero_copy_only=False).astype(np.int32))
+            hs_l.append(cols["h"].to_numpy(zero_copy_only=False).astype(np.int32))
+            bbox_l.append(
+                np.stack(
+                    [cols[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                     for c in ("minx", "miny", "maxx", "maxy")], axis=1
+                )
             )
-            g = m.groupby("zone_id", sort=False)
-            yield g.agg(
-                n_images=("n_px", "size"),
-                n_tiles=("n_tiles", "sum"),
-                n_px=("n_px", "sum"),
-                sum_v=("sum_v", "sum"),
-                min_v=("min_v", "min"),
-                max_v=("max_v", "max"),
-                focal_sum=("focal_sum", "sum"),
-                focal_cnt=("focal_cnt", "sum"),
-            ).reset_index()
+            bufs.extend(codecs.arrow_binary_views(cols["bytes"]))
+            fmts.extend(cols["fmt"].to_pylist())
+        ws = np.concatenate(ws_l)
+        hs = np.concatenate(hs_l)
+        bbox = np.concatenate(bbox_l, axis=0)
+        n = len(ws)
+        order = np.lexsort((np.arange(n), hs, ws))
+        sum_v = np.empty(n, np.int64)
+        min_v = np.empty(n, np.int64)
+        max_v = np.empty(n, np.int64)
+        focal_sum = np.empty(n, np.int64)
+        focal_cnt = np.empty(n, np.int64)
+        n_tiles = np.empty(n, np.int64)
+        n_px = np.empty(n, np.int64)
+        i = 0
+        while i < n:
+            w, h = int(ws[order[i]]), int(hs[order[i]])
+            j = i
+            while j < n and ws[order[j]] == w and hs[order[j]] == h:
+                j += 1
+            for c0 in range(i, j, CHUNK):
+                c1 = min(c0 + CHUNK, j)
+                stack = np.empty((c1 - c0, h, w), dtype=np.uint8)
+                for t, oi in enumerate(order[c0:c1]):
+                    stack[t] = codecs.decode_image(bufs[oi], fmts[oi], h, w)
+                s, mn, mx, fsum, fcnt = _stats_from_grid(stack, radius)
+                sum_v[c0:c1] = s
+                min_v[c0:c1] = mn
+                max_v[c0:c1] = mx
+                focal_sum[c0:c1] = fsum
+                focal_cnt[c0:c1] = fcnt
+            n_tiles[i:j] = -(-w // tile) * -(-h // tile)
+            n_px[i:j] = w * h
+            i = j
+        rects = bbox[order]
+        qi, zi = zx.match(rects, "intersects")
+        if not len(qi):
+            return
+        m = pd.DataFrame(
+            {
+                "zone_id": zx.zone_ids[zi],
+                "n_tiles": n_tiles[qi], "n_px": n_px[qi],
+                "sum_v": sum_v[qi], "min_v": min_v[qi], "max_v": max_v[qi],
+                "focal_sum": focal_sum[qi], "focal_cnt": focal_cnt[qi],
+            }
+        )
+        g = m.groupby("zone_id", sort=False)
+        out = g.agg(
+            n_images=("n_px", "size"),
+            n_tiles=("n_tiles", "sum"),
+            n_px=("n_px", "sum"),
+            sum_v=("sum_v", "sum"),
+            min_v=("min_v", "min"),
+            max_v=("max_v", "max"),
+            focal_sum=("focal_sum", "sum"),
+            focal_cnt=("focal_cnt", "sum"),
+        ).reset_index()
+        yield pa.RecordBatch.from_pandas(
+            out.astype(
+                {c: np.int64 for c in out.columns if c != "zone_id"}
+            ),
+            preserve_index=False,
+        )
 
     return _run
 
@@ -706,7 +726,7 @@ def north_star_decoded(
     )
     partials = images_bytes.select(
         "bytes", "fmt", "w", "h", "minx", "miny", "maxx", "maxy"
-    ).mapInPandas(_zone_partials_decoded(zindex_b, tile, 1), schema=schema)
+    ).mapInArrow(_zone_partials_decoded(zindex_b, tile, 1), schema=schema)
     return partials.groupBy("zone_id").agg(
         F.sum("n_images").alias("n_images"),
         F.sum("n_tiles").alias("n_tiles"),
