@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""REAL Spark standalone-cluster scaling evidence for the north rule.
+
+The multi-JVM emulation (run_multijvm_scaling.py) splits the input
+manually across 4 independent local-mode processes. This harness goes
+one step further and runs the ACTUAL cluster stack available in the
+sandbox: one standalone Master + four 8-core Workers (separate JVMs,
+taskset-pinned to disjoint core slices), then `spark-submit`s the
+north-star job against spark://... with
+
+  - `spark.cores.max=8`   → ONE 8-core executor   (N)
+  - `spark.cores.max=32`  → FOUR 8-core executors (4N)
+
+so the real scheduler, shuffle service, and executor processes carry
+the job — the same invocation a physical cluster would use (only the
+hostnames change). Efficiency = wall(1 executor) / (4 × wall(4
+executors)), min-of-N walls per level against host noise.
+
+Usage: python scripts/run_standalone_cluster.py [sf_dir] [replicate] [rounds]
+Defaults: /root/testdata/sf0.1, 128, 2. Prints one JSON line; copy the
+numbers into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
+MASTER_URL = "spark://127.0.0.1:7077"
+WORK_ROOT = "/tmp/spark-standalone"
+
+ENV_BASE = {
+    **os.environ,
+    "SPARK_HOME": SPARK_HOME,
+    "SPARK_LOCAL_IP": "127.0.0.1",
+    "SPARK_LOG_DIR": f"{WORK_ROOT}/logs",
+    "SPARK_PID_DIR": f"{WORK_ROOT}/pids",
+    "SPARK_LOCAL_DIRS": f"{WORK_ROOT}/local",
+    "PYSPARK_PYTHON": sys.executable,
+    "PYSPARK_DRIVER_PYTHON": sys.executable,
+}
+
+
+def _spawn(args: list, cpuset: str | None = None, **kw) -> subprocess.Popen:
+    cmd = (["taskset", "-c", cpuset] if cpuset else []) + args
+    return subprocess.Popen(
+        cmd, env=ENV_BASE, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        preexec_fn=os.setsid, **kw
+    )
+
+
+def start_cluster(n_workers: int = 4, cores: int = 8, mem: str = "20g"):
+    os.makedirs(f"{WORK_ROOT}/logs", exist_ok=True)
+    procs = [
+        _spawn(
+            [f"{SPARK_HOME}/bin/spark-class",
+             "org.apache.spark.deploy.master.Master",
+             "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8091"]
+        )
+    ]
+    time.sleep(5)
+    for i in range(n_workers):
+        cpuset = f"{i * cores}-{(i + 1) * cores - 1}"
+        procs.append(
+            _spawn(
+                [f"{SPARK_HOME}/bin/spark-class",
+                 "org.apache.spark.deploy.worker.Worker", MASTER_URL,
+                 "--cores", str(cores), "--memory", mem,
+                 "--work-dir", f"{WORK_ROOT}/worker{i}",
+                 "--webui-port", str(8092 + i)],
+                cpuset=cpuset,
+            )
+        )
+    time.sleep(8)
+    return procs
+
+
+def stop_cluster(procs) -> None:
+    for p in reversed(procs):
+        try:
+            os.killpg(os.getpgid(p.pid), signal.SIGTERM)
+        except ProcessLookupError:
+            pass
+    for p in procs:
+        try:
+            p.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            try:
+                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+
+
+def submit(sf_dir: str, rep: int, cores_max: int) -> float:
+    """One spark-submit; returns the min timed wall AFTER an in-process
+    JIT warmup run (the multi-JVM emulation also times warm JVMs).
+    Partition count matches the emulation's granularity: 16/core."""
+    n_parts = cores_max * 16
+    p = subprocess.run(
+        [f"{SPARK_HOME}/bin/spark-submit",
+         "--master", MASTER_URL,
+         "--py-files", f"{REPO}/dist/rsgislib_spark.zip",
+         "--conf", f"spark.cores.max={cores_max}",
+         "--conf", "spark.executor.cores=8",
+         "--conf", "spark.executor.memory=16g",
+         "--conf", "spark.sql.shuffle.partitions=64",
+         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=8192",
+         f"{REPO}/scripts/submit_north_star.py", sf_dir, str(rep),
+         str(n_parts), "2"],
+        env=ENV_BASE, capture_output=True, text=True, timeout=1800,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("{"):
+            return float(json.loads(line)["elapsed_s"])
+    raise RuntimeError(p.stdout[-3000:] + p.stderr[-3000:])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    rep = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    subprocess.run(["bash", f"{REPO}/scripts/build_pyfiles.sh"], check=True,
+                   capture_output=True)
+    load0 = os.getloadavg()
+    procs = start_cluster()
+    try:
+        walls = {8: [], 32: []}
+        for _ in range(rounds):
+            for cores in (32, 8):  # big first: warms the page cache for both
+                walls[cores].append(submit(sf_dir, rep, cores))
+        best8, best32 = min(walls[8]), min(walls[32])
+        n_images = 20_000 * rep  # sf0.1 part table is 20k rows
+        print(json.dumps({
+            "metric": "standalone_cluster_scaling",
+            "mode": "real standalone master + 4x8-core pinned workers",
+            "walls_1exec_8c": [round(w, 2) for w in walls[8]],
+            "walls_4exec_32c": [round(w, 2) for w in walls[32]],
+            "throughput_1exec": round(n_images / best8, 1),
+            "throughput_4exec": round(n_images / best32, 1),
+            "efficiency_Nto4N": round(best8 / (4 * best32), 3),
+            "loadavg_prerun": load0,
+            "replicate": rep,
+        }))
+    finally:
+        stop_cluster(procs)
+
+
+if __name__ == "__main__":
+    main()
