@@ -459,6 +459,9 @@ def _distances(q: np.ndarray, t: np.ndarray, metric: str, p: float, vi: np.ndarr
 
 
 def _summarize(vals: np.ndarray, how: str) -> float:
+    """Scalar reference implementation of one summary. NOT on the
+    operator path (superseded by the vectorized ``_summarize_rows``) —
+    kept as the per-row test oracle in tests/test_operators."""
     if how == "mean":
         return float(vals.mean())
     if how == "median":
