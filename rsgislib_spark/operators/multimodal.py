@@ -69,8 +69,14 @@ def image_features(images: DataFrame) -> DataFrame:
             for k in range(b.num_rows):
                 img = codecs.decode_image(views[k], fmts[k], int(hs[k]), int(ws[k]))
                 thumb = resize_nearest(img, 4, 4).astype(np.float64)
-                means.append(float(img.mean()))
-                stds.append(float(img.std()))
+                # mean/std from integer moment sums (exact in float64 for
+                # uint8 rasters) — cross-engine reproducible, one pass
+                n = img.size
+                s = int(img.sum(dtype=np.int64))
+                sq = int((img.astype(np.int64) ** 2).sum())
+                m = s / n
+                means.append(m)
+                stds.append(float(np.sqrt(max(sq / n - m * m, 0.0))))
                 thumbs.append(thumb.ravel().tolist())
                 hashes.append(int(phash64(img)))
             yield pa.RecordBatch.from_arrays(

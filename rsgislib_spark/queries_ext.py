@@ -2917,6 +2917,59 @@ def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("image_id")
 
 
+def q122_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """image_features over STORED BYTES, hash-gated: the lattice band is
+    encoded with the EXACT raw/png codecs (pipeline.encode_images_df —
+    the q91 bytes table), decoded by the multimodal operator, and the
+    extracted features (mean, moment-form std, 4×4 nearest-neighbour
+    thumbnail sum) are closed forms of integer pixel sums the oracle
+    recomputes relationally. Upgrades the decode→feature path from
+    rows-only (q61 keeps the mixed-format lossy table) to hash-exact."""
+    from rsgislib_spark.operators.multimodal import image_features
+    from rsgislib_spark.pipeline import encode_images_df
+
+    load_views(spark, sf_dir)
+    imgs = encode_images_df(spark, sf_dir).filter(F.col("image_key") % 17 == 0)
+    src = imgs.select(
+        F.col("image_key").cast("string").alias("image_id"), "bytes", "w", "h", "fmt"
+    )
+    feats = image_features(src)
+    return feats.select(
+        F.col("image_id").cast("long").alias("image_key"),
+        F.round("px_mean", 6).alias("px_mean"),
+        F.round("px_std", 6).alias("px_std"),
+        F.round(F.expr("aggregate(thumb16, 0D, (a, x) -> a + x)"), 6).alias("thumb_sum"),
+    )
+
+
+ORACLE_Q122 = _cte("""
+, px AS (
+  SELECT image_key, w, h, gx.px AS px, gy.py AS py,
+         (image_key * 7 + gx.px * 13 + gy.py * 17) % 251 AS red
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % 17 = 0
+), mom AS (
+  SELECT image_key, COUNT(*) AS n,
+         CAST(SUM(red) AS DOUBLE) AS s, CAST(SUM(red * red) AS DOUBLE) AS q
+  FROM px GROUP BY image_key
+), thumb AS (
+  -- resize_nearest(img, 4, 4): samples pixels at (i*h//4, j*w//4)
+  SELECT image_key, CAST(SUM(red) AS DOUBLE) AS tsum
+  FROM px
+  WHERE px IN (0 * w // 4, 1 * w // 4, 2 * w // 4, 3 * w // 4)
+    AND py IN (0 * h // 4, 1 * h // 4, 2 * h // 4, 3 * h // 4)
+  GROUP BY image_key
+)
+SELECT m.image_key,
+       ROUND(m.s / m.n, 6) AS px_mean,
+       ROUND(SQRT(GREATEST(m.q / m.n - (m.s / m.n) * (m.s / m.n), 0.0)), 6) AS px_std,
+       ROUND(t.tsum, 6) AS thumb_sum
+FROM mom m JOIN thumb t ON t.image_key = m.image_key
+""")
+
+
 def q64_north_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full north-star pipeline (rsgislib_spark.pipeline.north_star):
     footprints → fused tiler+band+focal kernels with per-image rollup →
@@ -4637,6 +4690,7 @@ QUERIES_EXT = {
     "q116_training_filter": q116_training_filter,
     "q120_fcls_unmixing": q120_fcls_unmixing,
     "q121_isodata_split": q121_isodata_split,
+    "q122_decoded_features": q122_decoded_features,
     "q117_polygonise": q117_polygonise,
     "q118_chip_extract": q118_chip_extract,
     "q43_deterministic_sample": q43_deterministic_sample,
@@ -4796,6 +4850,7 @@ ORACLES_EXT = {
     "q116_training_filter": ORACLE_Q116,
     "q120_fcls_unmixing": ORACLE_Q120,
     "q121_isodata_split": ORACLE_Q121,
+    "q122_decoded_features": ORACLE_Q122,
     "q117_polygonise": ORACLE_Q117,
     "q118_chip_extract": ORACLE_Q118,
     "q43_deterministic_sample": ORACLE_Q43,
