@@ -17,8 +17,18 @@ hostnames change). Efficiency = wall(1 executor) / (4 × wall(4
 executors)), min-of-N walls per level against host noise.
 
 Usage: python scripts/run_standalone_cluster.py [sf_dir] [replicate] [rounds]
+                                                 [--pinned-driver]
 Defaults: /root/testdata/sf0.1, 128, 2. Prints one JSON line; copy the
 numbers into BENCH/BASELINE.md.
+
+--pinned-driver mode: on a physical cluster the driver runs on its OWN
+node; colocating an unpinned driver JVM with the workers lets it steal
+worker CPU exactly when all 32 cores are busy — the contention that
+capped the default mode's 4-executor level. This mode reserves cores
+28-31 for the master + driver (both taskset-pinned there) and gives the
+four workers 7 cores each on 0-27, so the comparison is N=7 cores → 4N=28
+cores with an identical dedicated driver slice at both levels — the
+topology a real cluster actually has.
 """
 
 from __future__ import annotations
@@ -55,13 +65,15 @@ def _spawn(args: list, cpuset: str | None = None, **kw) -> subprocess.Popen:
     )
 
 
-def start_cluster(n_workers: int = 4, cores: int = 8, mem: str = "20g"):
+def start_cluster(n_workers: int = 4, cores: int = 8, mem: str = "20g",
+                  master_cpuset: str | None = None):
     os.makedirs(f"{WORK_ROOT}/logs", exist_ok=True)
     procs = [
         _spawn(
             [f"{SPARK_HOME}/bin/spark-class",
              "org.apache.spark.deploy.master.Master",
-             "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8091"]
+             "--host", "127.0.0.1", "--port", "7077", "--webui-port", "8091"],
+            cpuset=master_cpuset,
         )
     ]
     time.sleep(5)
@@ -97,22 +109,25 @@ def stop_cluster(procs) -> None:
                 pass
 
 
-def submit(sf_dir: str, rep: int, cores_max: int) -> float:
+def submit(sf_dir: str, rep: int, cores_max: int, executor_cores: int = 8,
+           driver_cpuset: str | None = None) -> float:
     """One spark-submit; returns the min timed wall AFTER an in-process
     JIT warmup run (the multi-JVM emulation also times warm JVMs).
     Partition count matches the emulation's granularity: 16/core."""
     n_parts = cores_max * 16
+    cmd = (["taskset", "-c", driver_cpuset] if driver_cpuset else []) + [
+        f"{SPARK_HOME}/bin/spark-submit",
+        "--master", MASTER_URL,
+        "--py-files", f"{REPO}/dist/rsgislib_spark.zip",
+        "--conf", f"spark.cores.max={cores_max}",
+        "--conf", f"spark.executor.cores={executor_cores}",
+        "--conf", "spark.executor.memory=16g",
+        "--conf", "spark.sql.shuffle.partitions=64",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=8192",
+        f"{REPO}/scripts/submit_north_star.py", sf_dir, str(rep),
+        str(n_parts), "2"]
     p = subprocess.run(
-        [f"{SPARK_HOME}/bin/spark-submit",
-         "--master", MASTER_URL,
-         "--py-files", f"{REPO}/dist/rsgislib_spark.zip",
-         "--conf", f"spark.cores.max={cores_max}",
-         "--conf", "spark.executor.cores=8",
-         "--conf", "spark.executor.memory=16g",
-         "--conf", "spark.sql.shuffle.partitions=64",
-         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=8192",
-         f"{REPO}/scripts/submit_north_star.py", sf_dir, str(rep),
-         str(n_parts), "2"],
+        cmd,
         env=ENV_BASE, capture_output=True, text=True, timeout=1800,
     )
     for line in p.stdout.splitlines():
@@ -122,28 +137,40 @@ def submit(sf_dir: str, rep: int, cores_max: int) -> float:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    rep = int(sys.argv[2]) if len(sys.argv) > 2 else 128
-    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    argv = [a for a in sys.argv[1:] if a != "--pinned-driver"]
+    pinned = "--pinned-driver" in sys.argv[1:]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.1"
+    rep = int(argv[1]) if len(argv) > 1 else 128
+    rounds = int(argv[2]) if len(argv) > 2 else 2
     subprocess.run(["bash", f"{REPO}/scripts/build_pyfiles.sh"], check=True,
                    capture_output=True)
     load0 = os.getloadavg()
-    procs = start_cluster()
+    if pinned:
+        wcores, driver_cpuset = 7, "28-31"
+        mode = ("real standalone master + 4x7-core pinned workers, "
+                "master+driver pinned to 28-31 (driver-node topology)")
+    else:
+        wcores, driver_cpuset = 8, None
+        mode = "real standalone master + 4x8-core pinned workers"
+    lo, hi = wcores, 4 * wcores
+    procs = start_cluster(cores=wcores, master_cpuset=driver_cpuset)
     try:
-        walls = {8: [], 32: []}
+        walls = {lo: [], hi: []}
         for _ in range(rounds):
-            for cores in (32, 8):  # big first: warms the page cache for both
-                walls[cores].append(submit(sf_dir, rep, cores))
-        best8, best32 = min(walls[8]), min(walls[32])
+            for cores in (hi, lo):  # big first: warms the page cache for both
+                walls[cores].append(
+                    submit(sf_dir, rep, cores, executor_cores=wcores,
+                           driver_cpuset=driver_cpuset))
+        best1, best4 = min(walls[lo]), min(walls[hi])
         n_images = 20_000 * rep  # sf0.1 part table is 20k rows
         print(json.dumps({
             "metric": "standalone_cluster_scaling",
-            "mode": "real standalone master + 4x8-core pinned workers",
-            "walls_1exec_8c": [round(w, 2) for w in walls[8]],
-            "walls_4exec_32c": [round(w, 2) for w in walls[32]],
-            "throughput_1exec": round(n_images / best8, 1),
-            "throughput_4exec": round(n_images / best32, 1),
-            "efficiency_Nto4N": round(best8 / (4 * best32), 3),
+            "mode": mode,
+            f"walls_1exec_{lo}c": [round(w, 2) for w in walls[lo]],
+            f"walls_4exec_{hi}c": [round(w, 2) for w in walls[hi]],
+            "throughput_1exec": round(n_images / best1, 1),
+            "throughput_4exec": round(n_images / best4, 1),
+            "efficiency_Nto4N": round(best1 / (4 * best4), 3),
             "loadavg_prerun": load0,
             "replicate": rep,
         }))
