@@ -88,6 +88,9 @@ def main() -> None:
         (F.col("miny") + F.col("h") * 10.0).alias("maxy"),
     )
 
+    # optional op filter (argv[2:]): host bursts arrive every few minutes
+    # and the full 3-op sweep straddles them — per-op runs fit a quiet gap
+    only = set(sys.argv[2:])
     results = {}
     for name, job in (
         ("image_features", lambda: image_features(images)),
@@ -97,6 +100,8 @@ def main() -> None:
             lambda: north_star_decoded(spark, sf_dir, images_bytes=imgs_ns),
         ),
     ):
+        if only and name not in only:
+            continue
         best = None
         for _ in range(2):  # min-of-2 against host noise
             t0 = time.perf_counter()
