@@ -90,11 +90,17 @@ def _isodata_add_remove(
     """Driver-side replay of the reference's addRemoveClusters
     (RSGISISODataClusterer, src/math/RSGISClustering.cpp:1061-1146):
 
-    1. While more than ``min_n_clusters`` remain, iterate in list order:
-       drop clusters with fewer than ``min_cluster_size`` members, then
-       drop the CURRENT cluster if any still-listed cluster with a
-       different centre lies within ``min_dist_clusters`` (euclidean) —
-       the same sequential erase-while-iterating semantics.
+    1. If more than ``min_n_clusters`` clusters exist AT ENTRY (the
+       reference checks the floor ONCE, cpp:1063 — sequential deletions
+       inside the loop can legally drop the count below it), iterate in
+       list order: drop clusters with fewer than ``min_cluster_size``
+       members, then drop the CURRENT cluster if any still-listed
+       cluster with a different centre lies within ``min_dist_clusters``
+       (euclidean) — the same sequential erase-while-iterating
+       semantics. "Different centre" is the reference's value-equality
+       ``sameCluster`` test (cpp:1082-1089), NOT an index check: two
+       clusters with bit-identical centres are never removed by the
+       min-dist rule, exactly as in the reference.
     2. Split every survivor whose MEAN per-dim stddev exceeds
        ``max_std_dev`` and whose size exceeds 2·min_cluster_size: the
        new cluster sits at centre − σ/2 per dim, the original moves to

@@ -146,7 +146,12 @@ def fcls_unmix_kernel(X: np.ndarray, endmembers: np.ndarray) -> np.ndarray:
             continue
         r = Xa - a_s @ E[sel]
         res = (r * r).sum(1)
-        upd = feas & (res < best_res - 1e-12)
+        # Strict < keeps the FIRST-enumerated (lowest-mask) support on
+        # exact residual ties — bit-identical to the relational oracle's
+        # ORDER BY res ASC, mask ASC selection (an epsilon would keep an
+        # earlier support the oracle rejects when residuals differ by
+        # less than the epsilon).
+        upd = feas & (res < best_res)
         if upd.any():
             best_res[upd] = res[upd]
             tmp = np.zeros((int(upd.sum()), k))

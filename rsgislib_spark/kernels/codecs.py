@@ -252,11 +252,13 @@ def decode_dct(buf: bytes) -> np.ndarray:
 
 def decode_dct_batch(bufs) -> list:
     """Decode MANY lossy payloads with one coefficient concatenation and
-    one pair of flat GEMMs across every block of every image — the
-    per-batch shape the Arrow-batched operators feed (VERDICT r3 task:
-    batch multiple images per DCT/entropy call). Returns a list of
-    arrays aligned with ``bufs``. Entropy (zlib) stays per-image — each
-    payload is an independent stream."""
+    one pair of flat GEMMs per quantization quality across every block
+    of every image — the per-batch shape the Arrow-batched operators
+    feed (image_features groups each Arrow batch's lossy payloads
+    through here). Returns a list of arrays aligned with ``bufs``.
+    Entropy (zlib) stays per-image — each payload is an independent
+    stream; mixed qualities form one GEMM group each (no per-image
+    fallback, nothing is decompressed twice)."""
     metas, runs = [], []
     for buf in bufs:
         if buf[:6] != _DCT_MAGIC:
@@ -274,18 +276,25 @@ def decode_dct_batch(bufs) -> list:
         metas.append((h, w, H, W, nblocks, nch, quality))
     if not metas:
         return []
-    if len({m[6] for m in metas}) != 1:
-        # mixed qualities: fall back per-image (never hit by our tables)
-        return [decode_dct(b) for b in bufs]
-    q32 = _qtable(metas[0][6]).astype(np.float32)
-    u8t = _idct_blocks_u8(np.concatenate(runs), q32)
-    outs, off = [], 0
-    for h, w, H, W, nb, nch, _ in metas:
-        chans = []
-        for _c in range(nch):
-            chans.append(_assemble_dct(u8t[off : off + nb], h, w, H, W))
-            off += nb
-        outs.append(chans[0] if nch == 1 else np.stack(chans, axis=2))
+    run_start = np.concatenate(([0], np.cumsum([m[5] for m in metas])))
+    by_quality: dict = {}
+    for i, m in enumerate(metas):
+        by_quality.setdefault(m[6], []).append(i)
+    outs: list = [None] * len(bufs)
+    for quality, idxs in by_quality.items():
+        q32 = _qtable(quality).astype(np.float32)
+        grp = []
+        for i in idxs:
+            grp.extend(runs[run_start[i] : run_start[i] + metas[i][5]])
+        u8t = _idct_blocks_u8(np.concatenate(grp), q32)
+        off = 0
+        for i in idxs:
+            h, w, H, W, nb, nch, _ = metas[i]
+            chans = []
+            for _c in range(nch):
+                chans.append(_assemble_dct(u8t[off : off + nb], h, w, H, W))
+                off += nb
+            outs[i] = chans[0] if nch == 1 else np.stack(chans, axis=2)
     return outs
 
 
@@ -323,8 +332,16 @@ def arrow_binary_views(arr) -> list:
     (measured 4.4× slower end-to-end on the 50k-image decode bench);
     slicing the Arrow data buffer through the offsets buffer costs
     nothing. All codec decoders accept buffer objects."""
-    bufs = arr.buffers()  # [validity, int32 offsets, data]
-    offs = np.frombuffer(bufs[1], dtype=np.int32)[arr.offset : arr.offset + len(arr) + 1]
+    import pyarrow as pa
+
+    # large_binary/large_string (spark.sql.execution.arrow.useLargeVarTypes)
+    # carries int64 offsets; reading them as int32 would interleave
+    # low/high words and slice garbage.
+    t = arr.type
+    wide = pa.types.is_large_binary(t) or pa.types.is_large_string(t)
+    off_dt = np.int64 if wide else np.int32
+    bufs = arr.buffers()  # [validity, offsets, data]
+    offs = np.frombuffer(bufs[1], dtype=off_dt)[arr.offset : arr.offset + len(arr) + 1]
     mv = memoryview(bufs[2])
     return [mv[offs[k] : offs[k + 1]] for k in range(len(arr))]
 

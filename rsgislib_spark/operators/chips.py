@@ -58,18 +58,21 @@ def extract_chips(
             outs = []
             for rec in pdf.itertuples(index=False):
                 k, w, h = int(rec.image_key), int(rec.w), int(rec.h)
-                if w < cs or h < cs:
-                    # np.clip's upper bound (w - cs) would go negative and
-                    # the Python slice would silently wrap — fail loudly.
-                    raise ValueError(
-                        f"image {k} is {w}x{h}, smaller than chip_size={cs}; "
-                        "full-size chips cannot be anchored inside it"
-                    )
                 maxx = rec.minx + w * pixel_size
                 maxy = rec.miny + h * pixel_size
                 cand = (px >= rec.minx) & (px < maxx) & (py > rec.miny) & (py <= maxy)
                 if not cand.any():
                     continue
+                if w < cs or h < cs:
+                    # np.clip's upper bound (w - cs) would go negative and
+                    # the Python slice would silently wrap — fail loudly,
+                    # but only when a point actually anchors here: an
+                    # undersized image no point falls in is a no-op, not
+                    # a reason to kill the whole job.
+                    raise ValueError(
+                        f"image {k} is {w}x{h}, smaller than chip_size={cs}; "
+                        "full-size chips cannot be anchored inside it"
+                    )
                 ix = np.floor((px[cand] - rec.minx) / pixel_size).astype(np.int64)
                 iy = np.floor((maxy - py[cand]) / pixel_size).astype(np.int64)
                 x0 = np.clip(ix - cs // 2, 0, w - cs)

@@ -65,9 +65,20 @@ def image_features(images: DataFrame) -> DataFrame:
             ws = cols["w"].to_numpy(zero_copy_only=False)
             fmts = cols["fmt"].to_pylist()
             views = codecs.arrow_binary_views(cols["bytes"])
+            # Lossy payloads batch through ONE pair of flat IDCT GEMMs
+            # per Arrow batch (decode_dct_batch) instead of per-image
+            # GEMM setup; raw/png decode stays per-image (no shared work).
+            jpg_idx = [k for k in range(b.num_rows) if fmts[k] == "jpg"]
+            jpg_dec = (
+                dict(zip(jpg_idx, codecs.decode_dct_batch([views[k] for k in jpg_idx])))
+                if len(jpg_idx) > 1
+                else {}
+            )
             means, stds, thumbs, hashes = [], [], [], []
             for k in range(b.num_rows):
-                img = codecs.decode_image(views[k], fmts[k], int(hs[k]), int(ws[k]))
+                img = jpg_dec.get(k)
+                if img is None:
+                    img = codecs.decode_image(views[k], fmts[k], int(hs[k]), int(ws[k]))
                 thumb = resize_nearest(img, 4, 4).astype(np.float64)
                 # mean/std from integer moment sums (exact in float64 for
                 # uint8 rasters) — cross-engine reproducible, one pass

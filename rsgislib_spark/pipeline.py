@@ -539,6 +539,7 @@ def encode_images_df(
     sf_dir: str,
     n_partitions: int | None = None,
     replicate: int = 1,
+    where=None,
 ) -> DataFrame:
     """Bytes-bearing image table (the ``input_hint`` shape): the synthetic
     band grid of each image ENCODED with the in-house codecs — raw for
@@ -549,6 +550,11 @@ def encode_images_df(
     from rsgislib_spark.kernels import codecs
 
     imgs = images_df(spark, sf_dir, replicate)
+    if where is not None:
+        # Subset BEFORE the encode stage: a filter applied by the caller
+        # lands above the opaque mapInPandas node and cannot push through
+        # it, so the whole table would be encoded only to be discarded.
+        imgs = imgs.filter(where)
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism * 4
     imgs = imgs.repartition(n_partitions, "image_key")

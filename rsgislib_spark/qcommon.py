@@ -66,6 +66,10 @@ def widen(df: DataFrame) -> DataFrame:
     # Catalyst stats above a Python-eval node) must NOT be collapsed to
     # `par` partitions. The RDD conversion is acceptable here because the
     # plan is, by the estimate we just read, tiny.
+    # Known trade-off: a small input that already has >= par partitions
+    # but whose rows are hash-skewed into a few of them is returned
+    # as-is; a caller that partitioned by a skewed key should
+    # df.repartition(par) explicitly before the heavy kernel.
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df

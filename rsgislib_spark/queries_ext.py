@@ -2929,7 +2929,10 @@ def q122_decoded_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rsgislib_spark.pipeline import encode_images_df
 
     load_views(spark, sf_dir)
-    imgs = encode_images_df(spark, sf_dir).filter(F.col("image_key") % 17 == 0)
+    # Predicate goes INTO encode_images_df so the subset is taken before
+    # the opaque encode mapInPandas (a .filter() here would encode all
+    # 20k images at sf0.1 and keep ~1.2k).
+    imgs = encode_images_df(spark, sf_dir, where=F.col("image_key") % 17 == 0)
     src = imgs.select(
         F.col("image_key").cast("string").alias("image_id"), "bytes", "w", "h", "fmt"
     )

@@ -162,7 +162,11 @@ def main() -> None:
                     submit(sf_dir, rep, cores, executor_cores=wcores,
                            driver_cpuset=driver_cpuset))
         best1, best4 = min(walls[lo]), min(walls[hi])
-        n_images = 20_000 * rep  # sf0.1 part table is 20k rows
+        import pyarrow.parquet as pq
+
+        # image table is derived from part; count it from the actual
+        # sf_dir so throughput stays honest at any scale factor
+        n_images = pq.read_metadata(os.path.join(sf_dir, "part.parquet")).num_rows * rep
         print(json.dumps({
             "metric": "standalone_cluster_scaling",
             "mode": mode,

@@ -76,3 +76,33 @@ def test_images_equal_tolerance_semantics():
     b2[0, 0] = 5.0
     assert not codecs.images_equal(a, b2, flt_dif=0.0001, prop_eql=1.0)
     assert codecs.images_equal(a, b2, flt_dif=0.0001, prop_eql=0.9)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, 2**32 - 1))
+def test_decode_dct_batch_matches_per_image(seed):
+    """The batched flat-GEMM decoder (one IDCT GEMM pair per quality
+    group) is bit-identical to per-image decode_dct, including MIXED
+    qualities and dims in one batch, with outputs aligned to inputs."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 2]))
+    dims_q = [(64, 64, 90), (72, 80, 75), (64, 64, 90), (100, 56, 50), (8, 8, 90)]
+    imgs = [rng.integers(0, 256, (h, w)).astype(np.uint8) for h, w, _ in dims_q]
+    bufs = [codecs.encode_dct(a, quality=q) for a, (_, _, q) in zip(imgs, dims_q)]
+    outs = codecs.decode_dct_batch(bufs)
+    assert len(outs) == len(bufs)
+    for b, o in zip(bufs, outs):
+        assert np.array_equal(codecs.decode_dct(b), o)
+    assert codecs.decode_dct_batch([]) == []
+
+
+def test_arrow_binary_views_layouts():
+    """Offset width follows the Arrow type: binary=int32,
+    large_binary=int64 (spark.sql.execution.arrow.useLargeVarTypes);
+    sliced arrays honour arr.offset."""
+    import pyarrow as pa
+
+    payload = [b"abc", b"", b"xy" * 100]
+    for typ in (pa.binary(), pa.large_binary()):
+        arr = pa.array(payload, type=typ)
+        assert [bytes(v) for v in codecs.arrow_binary_views(arr)] == payload
+        assert [bytes(v) for v in codecs.arrow_binary_views(arr.slice(1))] == payload[1:]

@@ -612,3 +612,26 @@ def test_extract_chips_rejects_small_image(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="smaller than chip_size"):
         extract_chips(images, points, chip_size=8).collect()
+
+
+def test_extract_chips_skips_unanchored_small_image(spark):
+    """An undersized image NO point falls in must not kill the job —
+    the guard fires only for points that would actually mis-anchor."""
+    import pandas as pd
+    from rsgislib_spark.operators.chips import extract_chips
+
+    images = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"image_key": 9, "w": 4, "h": 64, "minx": 0.0, "miny": 0.0},
+                {"image_key": 10, "w": 64, "h": 64, "minx": 1000.0, "miny": 0.0},
+            ]
+        )
+    )
+    # the only point anchors in the NORMAL image; the 4x64 thumbnail is
+    # a no-op, not a ValueError
+    points = spark.createDataFrame(
+        pd.DataFrame({"pt_id": [1], "x": [1325.0], "y": [315.0]})
+    )
+    out = extract_chips(images, points, chip_size=8).toPandas()
+    assert out.image_key.tolist() == [10]
