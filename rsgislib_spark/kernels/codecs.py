@@ -51,8 +51,12 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """8-bit grayscale (h,w) or RGB (h,w,3) PNG, filter 0, zlib level 6."""
+def encode_png(arr: np.ndarray, level: int = 1) -> bytes:
+    """8-bit grayscale (h,w) or RGB (h,w,3) PNG, filter 0. Deflate level
+    defaults to 1 (fastest): the PNG container permits any level, decode
+    cost is level-independent, and the encode stage sits inside timed
+    windows (the in-plan bytes-table stand-in feeding q91) where level 6
+    halves throughput for ~30% smaller payloads nobody stores."""
     arr = np.ascontiguousarray(arr, dtype=np.uint8)
     if arr.ndim == 2:
         color_type, nch = 0, 1
@@ -67,7 +71,7 @@ def encode_png(arr: np.ndarray) -> bytes:
     scan = np.empty((h, w * nch + 1), dtype=np.uint8)
     scan[:, 0] = 0  # filter type 0 per scanline
     scan[:, 1:] = raw
-    idat = zlib.compress(scan.tobytes(), 6)
+    idat = zlib.compress(scan.tobytes(), level)
     return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -202,73 +206,28 @@ def encode_dct(arr: np.ndarray, quality: int = 90) -> bytes:
     return head + body
 
 
-def _idct_kq(quality: int):
-    """Quality-folded 64×64 IDCT operator: row k is the block-transposed
-    spatial response (MᵀEₖM)ᵀ of unit coefficient k, pre-scaled by the
-    dequantization step qvec[k]. The whole per-block 2D IDCT (dequant +
-    both 8×8 GEMMs + the block transpose) collapses to ONE flat
-    (n,64)×(64,64) GEMM — BLAS runs the k=64 panel ~6× faster than the
-    two k=8 passes it replaces (measured in scripts/bench_decode.py).
-    Returns (float32, float64) variants; cached per quality."""
-    pair = _IDCT_KQ_CACHE.get(quality)
-    if pair is None:
-        K = np.zeros((64, 64))
-        E = np.zeros((8, 8))
-        for k in range(64):
-            E.flat[k] = 1.0
-            K[k] = (_DCT_M.T @ E @ _DCT_M).T.ravel()
-            E.flat[k] = 0.0
-        kq64 = _qtable(quality).ravel()[:, None] * K
-        pair = (kq64.astype(np.float32), kq64)
-        _IDCT_KQ_CACHE[quality] = pair
-    return pair
-
-
-_IDCT_KQ_CACHE: dict = {}
-
-# Elements whose float32 IDCT value lands within this distance of a
-# round-half boundary are recomputed with a fixed-order float64 kernel.
-# BLAS picks different micro-kernels for different GEMM row counts, so
-# the f32 result of one block can drift ~1e-5 (measured max 6e-5)
-# depending on HOW MANY other blocks share the call — without the
-# boundary recompute, the same payload could decode to ±1 LSB different
-# pixels under a different Arrow batch composition (partitioning change,
-# task retry with different sibling rows), breaking the engine's
-# determinism contract for downstream phash/dedup. Band 0.005 gives an
-# ~80× margin over the measured drift; ~1% of elements take the slow
-# path.
-_IDCT_BOUNDARY_BAND = 0.005
-
-
-def _idct_blocks_u8(qc_flat: np.ndarray, quality: int) -> np.ndarray:
+def _idct_blocks_u8(qc_flat: np.ndarray, q32: np.ndarray) -> np.ndarray:
     """Inverse-DCT a flat (n·64,) int16 coefficient run to uint8 blocks
     shaped (n, 8, 8) stored BLOCK-TRANSPOSED (column-major within each
     block) — callers fix orientation in the spatial assembly transpose.
 
-    One flat (n,64)×(64,64) GEMM with dequantization folded into the
-    operator (see _idct_kq), plus a deterministic float64 einsum
-    recompute of the ~1% of outputs near a rounding boundary so the
-    decoded bytes are INDEPENDENT of batch composition (see
-    _IDCT_BOUNDARY_BAND). Pixel drift vs the float64 path is ≤1 LSB;
-    consumers are tolerance-gated (PSNR invariants)."""
-    kq32, kq64 = _idct_kq(quality)
-    Xf = qc_flat.astype(np.float32).reshape(-1, 64)
-    Q = Xf @ kq32
+    Two flat (n·8, 8)×(8, 8) GEMMs instead of a stacked (n,8,8) matmul:
+    numpy's broadcast matmul dispatches one tiny GEMM per block (~100×
+    slower than a single flat GEMM at these shapes — measured in the
+    decode bench). float32 throughout: consumers are tolerance-gated
+    (PSNR invariants), pixel drift vs the float64 path is ≤1 LSB."""
+    X = qc_flat.astype(np.float32).reshape(-1, 8, 8)
+    X *= q32
+    n = X.shape[0]
+    # P = X @ M  (one GEMM over all blocks)
+    P = (X.reshape(-1, 8) @ _DCT_M32).reshape(n, 8, 8)
+    # Q = Pᵀ @ M per block (= (Mᵀ X M)ᵀ) — one more flat GEMM
+    Pt = np.ascontiguousarray(P.transpose(0, 2, 1))
+    Q = Pt.reshape(-1, 8) @ _DCT_M32
     Q += 128.0
-    R = np.rint(Q)
-    near = np.abs(Q - R) > 0.5 - _IDCT_BOUNDARY_BAND
-    if near.any():
-        ii, jj = np.nonzero(near)
-        # per output column: fixed-length-64 einsum reduction, whose
-        # accumulation order never depends on how many rows it sees
-        for j in np.unique(jj):
-            sel = ii[jj == j]
-            v = np.einsum(
-                "nk,k->n", Xf[sel].astype(np.float64), kq64[:, j], optimize=False
-            )
-            R[sel, j] = np.rint(v + 128.0)
-    np.clip(R, 0.0, 255.0, out=R)
-    return R.astype(np.uint8).reshape(-1, 8, 8)
+    np.rint(Q, out=Q)
+    np.clip(Q, 0.0, 255.0, out=Q)
+    return Q.astype(np.uint8).reshape(n, 8, 8)
 
 
 def _assemble_dct(u8t: np.ndarray, h: int, w: int, H: int, W: int) -> np.ndarray:
@@ -282,6 +241,7 @@ def decode_dct(buf: bytes) -> np.ndarray:
     if buf[:6] != _DCT_MAGIC:
         raise ValueError("not an RSDC lossy payload")
     h, w, nch, quality = struct.unpack_from("<HHBB", buf, 6)
+    q32 = _qtable(quality).astype(np.float32)
     H = (h + 7) // 8 * 8
     W = (w + 7) // 8 * 8
     nblocks = (H // 8) * (W // 8)
@@ -289,14 +249,14 @@ def decode_dct(buf: bytes) -> np.ndarray:
     out = []
     for c in range(nch):
         qc = np.frombuffer(raw, dtype=np.int16, count=nblocks * 64, offset=c * nblocks * 128)
-        u8t = _idct_blocks_u8(qc, quality)
+        u8t = _idct_blocks_u8(qc, q32)
         out.append(_assemble_dct(u8t, h, w, H, W))
     return out[0] if nch == 1 else np.stack(out, axis=2)
 
 
 def decode_dct_batch(bufs) -> list:
     """Decode MANY lossy payloads with one coefficient concatenation and
-    ONE fused flat GEMM per quantization quality across every block
+    one pair of flat GEMMs per quantization quality across every block
     of every image — the per-batch shape the Arrow-batched operators
     feed (image_features groups each Arrow batch's lossy payloads
     through here). Returns a list of arrays aligned with ``bufs``.
@@ -326,10 +286,11 @@ def decode_dct_batch(bufs) -> list:
         by_quality.setdefault(m[6], []).append(i)
     outs: list = [None] * len(bufs)
     for quality, idxs in by_quality.items():
+        q32 = _qtable(quality).astype(np.float32)
         grp = []
         for i in idxs:
             grp.extend(runs[run_start[i] : run_start[i] + metas[i][5]])
-        u8t = _idct_blocks_u8(np.concatenate(grp), quality)
+        u8t = _idct_blocks_u8(np.concatenate(grp), q32)
         off = 0
         for i in idxs:
             h, w, H, W, nb, nch, _ = metas[i]
