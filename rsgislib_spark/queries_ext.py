@@ -2891,14 +2891,80 @@ FROM events GROUP BY 1, 2
 def q63_clump_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components clumping with tiled labelling + cross-tile
     reconcile (segmentation clump + merge_equiv_clumps,
-    tiledclump.py:134-224). Rows-only: transitive closure over pixel
-    adjacency is not practical ANSI SQL; parity vs a whole-image BFS
-    oracle is asserted in tests/test_clump_multimodal.py."""
+    tiledclump.py:134-224). Hash-gated: the oracle labels components by
+    a DIFFERENT algorithm (run-length contraction + recursive-CTE
+    min-label propagation, see ORACLE_Q63) and compares the
+    label-invariant outputs (component count, largest size). Whole-image
+    BFS parity is additionally asserted in
+    tests/test_clump_multimodal.py."""
     from rsgislib_spark.operators.clump import clump_images
 
     load_views(spark, sf_dir)
     gi = widen(_geo_images(spark).filter(F.col("image_key") % FOCAL_SUBSET == 0))
     return clump_images(gi, threshold=125, tile=96).orderBy("image_key")
+
+
+def _clump_oracle_sql(threshold: int = 125) -> str:
+    """Relational replay of clump_images via run-length contraction:
+    each maximal horizontal run of masked pixels becomes ONE node (the
+    lattice's +13/px step bounds runs to ~10 px, a ~7× node and ~50×
+    edge-pair reduction vs pixel-level propagation), vertical adjacency
+    is a range-overlap join between consecutive rows, and the recursive
+    min-label relax (the q103 pattern) runs over runs, not pixels.
+    Component count and largest-component pixel sum are label-invariant,
+    so they compare exactly against the engine's union-find labels."""
+    from rsgislib_spark.qcommon import GEO_IMAGES_SQL
+
+    return f"""
+WITH RECURSIVE geo_images AS ({GEO_IMAGES_SQL}),
+px AS MATERIALIZED (
+  SELECT image_key, w, gx.px AS px, gy.py AS py
+  FROM geo_images,
+  LATERAL (SELECT unnest(generate_series(0, w - 1)) AS px) gx,
+  LATERAL (SELECT unnest(generate_series(0, h - 1)) AS py) gy
+  WHERE image_key % {FOCAL_SUBSET} = 0
+    AND (image_key * 7 + gx.px * 13 + gy.py * 17) % 251 > {threshold}
+),
+runs AS MATERIALIZED (
+  SELECT image_key, py, MIN(px) AS x0, MAX(px) AS x1,
+         MIN(py * w + px) AS rid, COUNT(*) AS n
+  FROM (
+    SELECT image_key, w, px, py,
+           px - ROW_NUMBER() OVER (PARTITION BY image_key, py ORDER BY px) AS grp
+    FROM px
+  ) t GROUP BY image_key, py, grp
+),
+edges AS MATERIALIZED (
+  SELECT a.image_key, a.rid AS i1, b.rid AS i2
+  FROM runs a JOIN runs b
+    ON b.image_key = a.image_key AND b.py = a.py + 1
+   AND b.x0 <= a.x1 AND a.x0 <= b.x1
+  UNION ALL
+  SELECT a.image_key, b.rid AS i1, a.rid AS i2
+  FROM runs a JOIN runs b
+    ON b.image_key = a.image_key AND b.py = a.py + 1
+   AND b.x0 <= a.x1 AND a.x0 <= b.x1
+),
+relax AS (
+  SELECT image_key, rid, rid AS lab FROM runs
+  UNION
+  SELECT e.image_key, e.i2 AS rid, r.lab
+  FROM relax r JOIN edges e ON e.image_key = r.image_key AND e.i1 = r.rid
+  WHERE r.lab < e.i2
+),
+cc AS MATERIALIZED (SELECT image_key, rid, MIN(lab) AS lab FROM relax GROUP BY 1, 2),
+comp AS MATERIALIZED (
+  SELECT c.image_key, c.lab, SUM(r.n) AS npx
+  FROM cc c JOIN runs r ON r.image_key = c.image_key AND r.rid = c.rid
+  GROUP BY 1, 2
+)
+SELECT image_key, CAST(COUNT(*) AS BIGINT) AS n_components,
+       CAST(MAX(npx) AS BIGINT) AS largest_px
+FROM comp GROUP BY image_key
+"""
+
+
+ORACLE_Q63 = _clump_oracle_sql()
 
 
 def q61_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4817,8 +4883,9 @@ ORACLES_EXT = {
     "q57_overlay_intersection": ORACLE_Q57,
     "q58_pixel_band_summary": ORACLE_Q58,
     "q62_streaming_batch_parity": ORACLE_Q62,
-    # q61_multimodal_features, q63_clump_components: rows-only (payload
-    # decode / transitive closure are not ANSI SQL)
+    # q60/q61 (lossy payload decode is not SQL-expressible; q122 is the
+    # hash-gated lossless sibling): rows-only
+    "q63_clump_components": ORACLE_Q63,
     "q09_sorted_top100": ORACLE_Q09,
     "q23_band_stats": ORACLE_Q23,
     "q24_ndvi_summary": ORACLE_Q24,
