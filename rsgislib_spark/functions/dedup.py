@@ -338,3 +338,81 @@ def phash_near_dups(images: DataFrame, id_col: str = "image_id", max_bits: int =
         .filter(F.col("hamming") <= max_bits)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring (token n-gram span) duplication per document —
+    the cross-document exact-substring dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    reduced to per-document span statistics: for each sliding window of
+    ``n`` tokens, a span is DUPLICATED when it occurs in >= ``min_docs``
+    distinct documents. Emits (id, n_spans, n_dup_spans, dup_ratio).
+
+    Scale shape — two map-side-combinable shuffles over span rows, both
+    keyed on the same 16-byte md5 gram key (AQE reuses the exchange for
+    the co-keyed doc-frequency groupBy and flag join):
+      explode spans → groupBy(gram, doc) multiplicity   [shuffle 1]
+      gram doc-frequency ≥ min_docs flag                 (co-keyed)
+      flag joined back on gram, groupBy(doc) rollup      [shuffle 2]
+    md5 of the space-joined window keeps shuffle keys fixed-width
+    instead of arbitrary-length text, and both engines (Spark, DuckDB)
+    produce the identical lowercase-hex md5, so the oracle joins on the
+    same key. Per-doc span totals are the closed form n_tok − n + 1 —
+    no second explode. The reference has no text-dedup machinery; this
+    extends the engine's LLM-pipeline dedup family
+    (minhash/simhash/ngram-jaccard/exact-hash).
+    """
+    from rsgislib_spark.qcommon import widen
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    base = (
+        widen(df)
+        .select(id_col, toks.alias("t"))
+        .withColumn("n_tok", F.size("t"))
+        .filter(F.col("n_tok") >= n)
+    )
+    spans = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tok") - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, n))),
+            )
+        ).alias("gram"),
+    )
+    # per feeds BOTH the doc-frequency branch and the flag-join branch —
+    # materialize once (localCheckpoint, auto-reclaimed on GC) so the
+    # span explode + first shuffle run a single time, not per branch
+    per = (
+        spans.groupBy("gram", id_col)
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    dup_grams = (
+        per.groupBy("gram")
+        .agg(F.count("*").alias("gdoc"))
+        .filter(F.col("gdoc") >= min_docs)
+        .select("gram")
+    )
+    docdup = (
+        per.join(dup_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("n_dup_spans"))
+    )
+    tot = base.select(id_col, (F.col("n_tok") - (n - 1)).alias("n_spans"))
+    return (
+        tot.join(docdup, id_col, "left")
+        .fillna({"n_dup_spans": 0})
+        .select(
+            id_col,
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_ratio"),
+        )
+    )

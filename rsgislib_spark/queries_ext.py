@@ -3039,6 +3039,42 @@ FROM mom m JOIN thumb t ON t.image_key = m.image_key
 """)
 
 
+def q123_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (8-token span) cross-document duplication stats
+    (Lee et al. 2022 exact-substring dedup, reduced to per-doc span
+    counts) — functions/dedup.duplicated_span_stats over the documents
+    table. Both engines key spans by md5 of the space-joined window, so
+    the oracle joins on the identical 16-byte key."""
+    from rsgislib_spark.functions.dedup import duplicated_span_stats
+
+    load_views(spark, sf_dir)
+    return duplicated_span_stats(spark.table("documents"), n=8, min_docs=2)
+
+
+ORACLE_Q123 = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t, len(t) AS n_tok FROM toks WHERE len(t) >= 8
+), spans AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM base, LATERAL (SELECT unnest(generate_series(1, n_tok - 7)) AS i) s
+), per AS (
+  SELECT g, doc_id, COUNT(*) AS c FROM spans GROUP BY 1, 2
+), dup AS (
+  SELECT g FROM per GROUP BY g HAVING COUNT(*) >= 2
+), docdup AS (
+  SELECT p.doc_id, SUM(p.c) AS n_dup FROM per p JOIN dup USING (g) GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(b.n_tok - 7 AS BIGINT) AS n_spans,
+       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       ROUND(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / (b.n_tok - 7), 6) AS dup_ratio
+FROM base b LEFT JOIN docdup d USING (doc_id)
+"""
+
+
 def q64_north_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full north-star pipeline (rsgislib_spark.pipeline.north_star):
     footprints → fused tiler+band+focal kernels with per-image rollup →
@@ -4760,6 +4796,7 @@ QUERIES_EXT = {
     "q120_fcls_unmixing": q120_fcls_unmixing,
     "q121_isodata_split": q121_isodata_split,
     "q122_decoded_features": q122_decoded_features,
+    "q123_substring_dedup": q123_substring_dedup,
     "q117_polygonise": q117_polygonise,
     "q118_chip_extract": q118_chip_extract,
     "q43_deterministic_sample": q43_deterministic_sample,
@@ -4921,6 +4958,7 @@ ORACLES_EXT = {
     "q120_fcls_unmixing": ORACLE_Q120,
     "q121_isodata_split": ORACLE_Q121,
     "q122_decoded_features": ORACLE_Q122,
+    "q123_substring_dedup": ORACLE_Q123,
     "q117_polygonise": ORACLE_Q117,
     "q118_chip_extract": ORACLE_Q118,
     "q43_deterministic_sample": ORACLE_Q43,

@@ -153,3 +153,51 @@ class TestConnectedComponents:
     def test_star_and_triangle(self, spark):
         lab = self._cc(spark, [(5, 1), (5, 2), (5, 3), (7, 8), (8, 9), (9, 7)])
         assert lab == {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 8: 7, 9: 7}
+
+
+class TestDuplicatedSpanStats:
+    """Exact substring (n-gram span) dedup — Lee et al. 2022 semantics:
+    a span is duplicated only when >= min_docs DISTINCT docs carry it."""
+
+    def _run(self, spark, docs, n=8):
+        from rsgislib_spark.functions.dedup import duplicated_span_stats
+
+        pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+        out = duplicated_span_stats(spark.createDataFrame(pdf), n=n).toPandas()
+        return {
+            int(r.doc_id): (int(r.n_spans), int(r.n_dup_spans))
+            for r in out.itertuples(index=False)
+        }
+
+    def test_cross_doc_span_counts(self, spark):
+        shared = "a b c d e f g h"  # one 8-token span shared by docs 1, 2
+        got = self._run(
+            spark,
+            [
+                (1, shared + " x"),          # 9 tokens -> 2 spans, 1 dup
+                (2, "z " + shared),          # 9 tokens -> 2 spans, 1 dup
+                (3, "q w e r t y u i o p"),  # 10 tokens -> 3 spans, 0 dup
+            ],
+        )
+        assert got == {1: (2, 1), 2: (2, 1), 3: (3, 0)}
+
+    def test_within_doc_repeat_not_duplicated(self, spark):
+        # "m..t" occurs twice in ONE doc: multiplicity 2, distinct docs 1
+        got = self._run(spark, [(1, "m n o p q r s t m n o p q r s t"),
+                                (2, "a b c d e f g h i")])
+        assert got[1] == (9, 0)
+
+    def test_short_docs_dropped_and_multiplicity_summed(self, spark):
+        shared = "a b c d e f g h"
+        got = self._run(
+            spark,
+            [
+                (1, shared + " " + shared),  # 16 tokens; the shared span at
+                                             # pos 1 and 9 both count once dup'd
+                (2, shared),
+                (3, "too short"),            # < 8 tokens: no row
+            ],
+        )
+        assert 3 not in got
+        assert got[2] == (1, 1)
+        assert got[1][1] >= 2  # both occurrences of the shared span count
