@@ -416,3 +416,78 @@ def duplicated_span_stats(
             F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_ratio"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring SCRUB — the removal half of Lee et al. 2022:
+    every token covered by any duplicated ``n``-token span (one carried
+    by >= ``min_docs`` distinct documents) is dropped from the document;
+    overlapping spans union naturally because removal is decided per
+    token position. Emits (id, n_tok, n_kept, n_removed, kept_md5)
+    where kept_md5 fingerprints the scrubbed text (md5 is identical
+    across engines, so the oracle reproduces it byte-for-byte).
+
+    Scale shape: the span explode + (gram, doc) aggregate + cross-doc
+    frequency filter are the q123 pipeline (two co-keyed map-side
+    combined shuffles); duplicated span START positions then come back
+    to their documents as one collect_list groupBy [shuffle on doc] and
+    the per-token coverage test runs as a Catalyst array expression —
+    O(|starts|·n_tok) per row with bounded-length documents, zero
+    Python. Token positions are 1-based.
+    """
+    from rsgislib_spark.qcommon import widen
+
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    base = (
+        widen(df)
+        .select(id_col, toks.alias("t"))
+        .withColumn("n_tok", F.size("t"))
+        .filter(F.col("n_tok") >= n)
+    )
+    spans = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tok") - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, n))),
+            )
+        ).alias("pos0", "gram"),
+    ).select(id_col, (F.col("pos0") + 1).alias("start"), "gram")
+    dup_grams = (
+        spans.groupBy("gram")
+        .agg(F.count_distinct(id_col).alias("gdoc"))
+        .filter(F.col("gdoc") >= min_docs)
+        .select("gram")
+    )
+    starts = (
+        spans.join(dup_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.collect_list("start").alias("starts"))
+    )
+    span_w = F.lit(n - 1)
+    covered = lambda p: F.exists(  # noqa: E731 — tiny local predicate
+        F.col("starts"), lambda s: (p >= s) & (p <= s + span_w)
+    )
+    out = (
+        base.join(starts, id_col, "left")
+        .withColumn("starts", F.coalesce("starts", F.array()))
+        .withColumn(
+            "kept",
+            F.filter(
+                "t", lambda x, i: ~covered(i + 1)  # filter index is 0-based
+            ),
+        )
+    )
+    return out.select(
+        id_col,
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.size("kept").cast("long").alias("n_kept"),
+        (F.col("n_tok") - F.size("kept")).cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", "kept")).alias("kept_md5"),
+    )

@@ -3075,6 +3075,53 @@ FROM base b LEFT JOIN docdup d USING (doc_id)
 """
 
 
+def q124_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring removal (the scrub half of Lee et al. 2022):
+    drop every token covered by a cross-document duplicated 8-token
+    span; fingerprint the scrubbed text with md5 so the oracle verifies
+    the reconstructed documents byte-for-byte, not just the counts."""
+    from rsgislib_spark.functions.dedup import remove_duplicated_spans
+
+    load_views(spark, sf_dir)
+    return remove_duplicated_spans(spark.table("documents"), n=8, min_docs=2)
+
+
+ORACLE_Q124 = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t, len(t) AS n_tok FROM toks WHERE len(t) >= 8
+), spans AS (
+  SELECT doc_id, i AS start, md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM base, LATERAL (SELECT unnest(generate_series(1, n_tok - 7)) AS i) s
+), dup AS (
+  SELECT g FROM spans GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), dstart AS (
+  SELECT sp.doc_id, sp.start FROM spans sp JOIN dup USING (g)
+), tokpos AS (
+  SELECT doc_id, i, t[i] AS tok
+  FROM base, LATERAL (SELECT unnest(generate_series(1, n_tok)) AS i) s
+), kept AS (
+  SELECT tp.doc_id, tp.i, tp.tok
+  FROM tokpos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM dstart d
+    WHERE d.doc_id = tp.doc_id AND tp.i BETWEEN d.start AND d.start + 7
+  )
+), kagg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(array_to_string(list(tok ORDER BY i), ' ')) AS kept_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(b.n_tok - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(k.kept_md5, md5('')) AS kept_md5
+FROM base b LEFT JOIN kagg k USING (doc_id)
+"""
+
+
 def q64_north_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full north-star pipeline (rsgislib_spark.pipeline.north_star):
     footprints → fused tiler+band+focal kernels with per-image rollup →
@@ -4797,6 +4844,7 @@ QUERIES_EXT = {
     "q121_isodata_split": q121_isodata_split,
     "q122_decoded_features": q122_decoded_features,
     "q123_substring_dedup": q123_substring_dedup,
+    "q124_span_scrub": q124_span_scrub,
     "q117_polygonise": q117_polygonise,
     "q118_chip_extract": q118_chip_extract,
     "q43_deterministic_sample": q43_deterministic_sample,
@@ -4959,6 +5007,7 @@ ORACLES_EXT = {
     "q121_isodata_split": ORACLE_Q121,
     "q122_decoded_features": ORACLE_Q122,
     "q123_substring_dedup": ORACLE_Q123,
+    "q124_span_scrub": ORACLE_Q124,
     "q117_polygonise": ORACLE_Q117,
     "q118_chip_extract": ORACLE_Q118,
     "q43_deterministic_sample": ORACLE_Q43,

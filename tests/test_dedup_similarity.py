@@ -201,3 +201,53 @@ class TestDuplicatedSpanStats:
         assert 3 not in got
         assert got[2] == (1, 1)
         assert got[1][1] >= 2  # both occurrences of the shared span count
+
+
+class TestRemoveDuplicatedSpans:
+    """Span scrub: every token covered by a cross-doc duplicated span is
+    dropped; overlapping spans union via per-position coverage."""
+
+    def _run(self, spark, docs, n=8):
+        from rsgislib_spark.functions.dedup import remove_duplicated_spans
+
+        pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+        out = remove_duplicated_spans(spark.createDataFrame(pdf), n=n).toPandas()
+        return {
+            int(r.doc_id): (int(r.n_tok), int(r.n_kept), int(r.n_removed))
+            for r in out.itertuples(index=False)
+        }
+
+    def test_shared_span_removed_both_sides(self, spark):
+        shared = "a b c d e f g h"
+        got = self._run(
+            spark,
+            [(1, shared + " x"), (2, "z " + shared), (3, "q w e r t y u i o p")],
+        )
+        # docs 1/2 lose the 8 shared tokens, keep their 1 unique token
+        assert got[1] == (9, 1, 8)
+        assert got[2] == (9, 1, 8)
+        assert got[3] == (10, 10, 0)
+
+    def test_overlapping_spans_union(self, spark):
+        # 9 shared tokens -> two overlapping dup spans covering all 9
+        shared9 = "a b c d e f g h i"
+        got = self._run(spark, [(1, shared9 + " p"), (2, shared9 + " q")])
+        assert got[1] == (10, 1, 9)
+
+    def test_scrubbed_text_fingerprint(self, spark):
+        import hashlib
+
+        from rsgislib_spark.functions.dedup import remove_duplicated_spans
+
+        shared = "a b c d e f g h"
+        pdf = pd.DataFrame(
+            [(1, "u v " + shared + " w"), (2, shared + " k")],
+            columns=["doc_id", "text"],
+        )
+        out = (
+            remove_duplicated_spans(spark.createDataFrame(pdf), n=8)
+            .toPandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[1, "kept_md5"] == hashlib.md5(b"u v w").hexdigest()
+        assert out.loc[2, "kept_md5"] == hashlib.md5(b"k").hexdigest()
