@@ -491,3 +491,63 @@ def remove_duplicated_spans(
         (F.col("n_tok") - F.size("kept")).cast("long").alias("n_removed"),
         F.md5(F.concat_ws(" ", "kept")).alias("kept_md5"),
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    probes: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """N-gram decontamination of a training corpus against an
+    evaluation/benchmark set (the GPT-3/PaLM-style n-gram overlap
+    filter): a training document is CONTAMINATED when any sliding
+    ``n``-token span of it also occurs in any probe document. Emits
+    (id, n_spans, n_hits, is_contaminated).
+
+    Scale shape: probe grams are DISTINCT md5 keys of a small eval set —
+    broadcast to every executor, so the corpus side streams through a
+    broadcast-hash semi join with ZERO shuffle of span rows; the only
+    shuffle is the per-doc rollup of (doc, hit) counts, map-side
+    combined. Same md5 span keys as duplicated_span_stats, so the
+    DuckDB oracle joins on identical values.
+    """
+    from rsgislib_spark.qcommon import widen
+
+    def _spans(frame: DataFrame, col: str, keep_id: bool):
+        toks = F.filter(F.split(F.col(col), " "), lambda x: x != F.lit(""))
+        base = (
+            frame.select(*([id_col] if keep_id else []), toks.alias("t"))
+            .withColumn("n_tok", F.size("t"))
+            .filter(F.col("n_tok") >= n)
+        )
+        grams = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tok") - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, n))),
+            )
+        ).alias("gram")
+        return base, grams
+
+    pbase, pgrams = _spans(probes, probe_text_col, keep_id=False)
+    probe_grams = pbase.select(pgrams).distinct()
+    dbase, dgrams = _spans(widen(df), text_col, keep_id=True)
+    spans = dbase.select(id_col, dgrams)
+    hits = (
+        spans.join(F.broadcast(probe_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    tot = dbase.select(id_col, (F.col("n_tok") - (n - 1)).alias("n_spans"))
+    return (
+        tot.join(hits, id_col, "left")
+        .fillna({"n_hits": 0})
+        .select(
+            id_col,
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits") > 0).alias("is_contaminated"),
+        )
+    )

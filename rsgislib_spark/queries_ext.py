@@ -3122,6 +3122,46 @@ FROM base b LEFT JOIN kagg k USING (doc_id)
 """
 
 
+def q125_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram decontamination (GPT-3/PaLM-style eval-overlap filter):
+    documents whose doc_id % 97 == 0 stand in for the held-out eval
+    set; the rest of the corpus is flagged by 8-token span overlap.
+    Probe grams broadcast — zero shuffle of corpus span rows."""
+    from rsgislib_spark.functions.dedup import decontaminate
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, probes, n=8)
+
+
+ORACLE_Q125 = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t, len(t) AS n_tok FROM toks WHERE len(t) >= 8
+), spans AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM base, LATERAL (SELECT unnest(generate_series(1, n_tok - 7)) AS i) s
+), probe_g AS (
+  SELECT DISTINCT g FROM spans WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT sp.doc_id, COUNT(*) AS n_hits
+  FROM spans sp JOIN probe_g USING (g)
+  WHERE sp.doc_id % 97 <> 0
+  GROUP BY sp.doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tok - 7 AS BIGINT) AS n_spans,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS is_contaminated
+FROM base b LEFT JOIN hits h USING (doc_id)
+WHERE b.doc_id % 97 <> 0
+"""
+
+
 def q64_north_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full north-star pipeline (rsgislib_spark.pipeline.north_star):
     footprints → fused tiler+band+focal kernels with per-image rollup →
@@ -4845,6 +4885,7 @@ QUERIES_EXT = {
     "q122_decoded_features": q122_decoded_features,
     "q123_substring_dedup": q123_substring_dedup,
     "q124_span_scrub": q124_span_scrub,
+    "q125_decontaminate": q125_decontaminate,
     "q117_polygonise": q117_polygonise,
     "q118_chip_extract": q118_chip_extract,
     "q43_deterministic_sample": q43_deterministic_sample,
@@ -5008,6 +5049,7 @@ ORACLES_EXT = {
     "q122_decoded_features": ORACLE_Q122,
     "q123_substring_dedup": ORACLE_Q123,
     "q124_span_scrub": ORACLE_Q124,
+    "q125_decontaminate": ORACLE_Q125,
     "q117_polygonise": ORACLE_Q117,
     "q118_chip_extract": ORACLE_Q118,
     "q43_deterministic_sample": ORACLE_Q43,

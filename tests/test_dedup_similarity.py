@@ -251,3 +251,25 @@ class TestRemoveDuplicatedSpans:
         )
         assert out.loc[1, "kept_md5"] == hashlib.md5(b"u v w").hexdigest()
         assert out.loc[2, "kept_md5"] == hashlib.md5(b"k").hexdigest()
+
+
+class TestDecontaminate:
+    def test_overlap_flags_and_counts(self, spark):
+        from rsgislib_spark.functions.dedup import decontaminate
+
+        probe = "a b c d e f g h i"  # 9 tokens -> 2 probe spans
+        corpus = pd.DataFrame(
+            [
+                (1, "x " + "a b c d e f g h" + " y"),  # hits span 1 once
+                (2, "p q r s t u v w x y"),            # clean
+                (3, probe),                            # identical -> 2 hits
+            ],
+            columns=["doc_id", "text"],
+        )
+        probes = pd.DataFrame([(100, probe)], columns=["doc_id", "text"])
+        out = decontaminate(
+            spark.createDataFrame(corpus), spark.createDataFrame(probes), n=8
+        ).toPandas().set_index("doc_id")
+        assert bool(out.loc[1, "is_contaminated"]) and int(out.loc[1, "n_hits"]) == 1
+        assert not bool(out.loc[2, "is_contaminated"])
+        assert int(out.loc[3, "n_hits"]) == 2
