@@ -450,15 +450,23 @@ def remove_duplicated_spans(
         .withColumn("n_tok", F.size("t"))
         .filter(F.col("n_tok") >= n)
     )
-    spans = base.select(
-        id_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tok") - (n - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, n))),
-            )
-        ).alias("pos0", "gram"),
-    ).select(id_col, (F.col("pos0") + 1).alias("start"), "gram")
+    # spans feeds BOTH the cross-doc frequency branch and the start-
+    # position collect — materialize the explode once (localCheckpoint,
+    # the repo's ngram_jaccard/minhash precedent) instead of running the
+    # md5 window explode per branch
+    spans = (
+        base.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tok") - (n - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, n))),
+                )
+            ).alias("pos0", "gram"),
+        )
+        .select(id_col, (F.col("pos0") + 1).alias("start"), "gram")
+        .localCheckpoint(eager=True)
+    )
     dup_grams = (
         spans.groupBy("gram")
         .agg(F.count_distinct(id_col).alias("gdoc"))
