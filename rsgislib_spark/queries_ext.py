@@ -3162,6 +3162,39 @@ WHERE b.doc_id % 97 <> 0
 """
 
 
+def q126_streaming_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING decode ingest, hash-gated: the q122 bytes table lands
+    as parquet files, a Structured Streaming availableNow pass decodes
+    and featurizes each image (streaming_image_features — the stateless
+    mapInArrow plan runs unchanged under streaming), and the streamed
+    output must match the BATCH oracle (ORACLE_Q122) hash-exactly —
+    streaming/batch parity for the decode path, the q62 pattern applied
+    to the 100 TB continuous-ingest shape."""
+    import os
+    import tempfile
+
+    from rsgislib_spark.pipeline import encode_images_df
+    from rsgislib_spark.streaming.incremental import streaming_image_features
+
+    load_views(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="rsgis_sdec_")
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+    imgs = encode_images_df(spark, sf_dir, where=F.col("image_key") % 17 == 0)
+    imgs.select(
+        F.col("image_key").cast("string").alias("image_id"), "bytes", "w", "h", "fmt"
+    ).write.parquet(src)
+    streaming_image_features(spark, src, out, ckpt)
+    feats = spark.read.parquet(out)
+    return feats.select(
+        F.col("image_id").cast("long").alias("image_key"),
+        F.round("px_mean", 6).alias("px_mean"),
+        F.round("px_std", 6).alias("px_std"),
+        F.round(F.expr("aggregate(thumb16, 0D, (a, x) -> a + x)"), 6).alias("thumb_sum"),
+    )
+
+
 def q64_north_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full north-star pipeline (rsgislib_spark.pipeline.north_star):
     footprints → fused tiler+band+focal kernels with per-image rollup →
@@ -4886,6 +4919,7 @@ QUERIES_EXT = {
     "q123_substring_dedup": q123_substring_dedup,
     "q124_span_scrub": q124_span_scrub,
     "q125_decontaminate": q125_decontaminate,
+    "q126_streaming_decode": q126_streaming_decode,
     "q117_polygonise": q117_polygonise,
     "q118_chip_extract": q118_chip_extract,
     "q43_deterministic_sample": q43_deterministic_sample,
@@ -5050,6 +5084,8 @@ ORACLES_EXT = {
     "q123_substring_dedup": ORACLE_Q123,
     "q124_span_scrub": ORACLE_Q124,
     "q125_decontaminate": ORACLE_Q125,
+    # streaming decode must match the BATCH decode oracle — parity gate
+    "q126_streaming_decode": ORACLE_Q122,
     "q117_polygonise": ORACLE_Q117,
     "q118_chip_extract": ORACLE_Q118,
     "q43_deterministic_sample": ORACLE_Q43,

@@ -75,3 +75,37 @@ def incremental_tile_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_image_features(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str = "image_id string, bytes binary, w int, h int, fmt string",
+) -> None:
+    """Continuous decode ingest — the 100 TB shape where image payloads
+    LAND over time and must be decoded + featurized as they arrive:
+    new parquet files of (image_id, bytes, w, h, fmt) rows →
+    operators.multimodal.image_features (stateless mapInArrow, so it
+    runs unchanged under Structured Streaming) → features appended to
+    out_dir. One availableNow pass per call; the checkpoint makes
+    re-runs incremental (files already decoded are never re-decoded),
+    i.e. a killed ingest restarts without recomputing finished files."""
+    from rsgislib_spark.operators.multimodal import image_features
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src_dir)
+    )
+    q = (
+        image_features(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
