@@ -87,6 +87,22 @@ class TestTiler:
         win = next(w for w in wins if w[0] == xb and w[1] == yb)
         assert np.array_equal(t[0], img[win[3]:win[3]+32, win[2]:win[2]+32])
 
+    def test_caption_equality_per_tile_row(self, spark, images_df, small_images_pdf):
+        # north-rule per-row invariant: every tile row equi-joins back to
+        # exactly its source caption (caption equality, alongside the
+        # decoded-pixel roundtrip asserted above)
+        tiles = tile_images(images_df, 64, 64)
+        joined = (
+            tiles.select("image_id")
+            .join(images_df.select("image_id", "caption"), "image_id")
+            .toPandas()
+        )
+        src = small_images_pdf.set_index("image_id")["caption"]
+        assert len(joined) > 0
+        assert (
+            joined["caption"].to_numpy() == src.loc[joined["image_id"]].to_numpy()
+        ).all()
+
     def test_manifest(self, spark, images_df, small_images_pdf):
         tiles = tile_images(images_df, 64, 64)
         man = tile_manifest(tiles).toPandas()
