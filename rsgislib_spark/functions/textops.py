@@ -132,3 +132,38 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
             F.round(F.col("top_bigram_n") / (F.col("n_words") - 1), 6).alias("top_bigram_frac"),
         )
     )
+
+
+# Conservative RE2/Java-common regex subset: character classes, +, {n},
+# no backreferences/lookaround — identical semantics in Spark (Java
+# regex) and DuckDB (RE2), so oracles can scrub byte-identically.
+PII_EMAIL = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+PII_PHONE = "[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    email_pattern: str = PII_EMAIL,
+    phone_pattern: str = PII_PHONE,
+) -> DataFrame:
+    """PII redaction pass (the standard pre-training scrub stage):
+    counts and replaces email-like and phone-like substrings with
+    <EMAIL> / <TEL> placeholders. Pure Catalyst (regexp_extract_all +
+    regexp_replace inside whole-stage codegen — zero Python, rides the
+    scan at 100 TB). Patterns are restricted to the RE2/Java-common
+    subset above so a SQL oracle reproduces the scrub byte-for-byte.
+    Adds n_emails, n_phones, and the scrubbed text column."""
+    emails = F.expr(f"regexp_extract_all({text_col}, '{email_pattern}', 0)")
+    scrub1 = F.regexp_replace(F.col(text_col), email_pattern, "<EMAIL>")
+    phones_in1 = F.expr(
+        f"regexp_extract_all(regexp_replace({text_col}, '{email_pattern}', '<EMAIL>'),"
+        f" '{phone_pattern}', 0)"
+    )
+    return df.withColumns(
+        {
+            "n_emails": F.size(emails).cast("long"),
+            "n_phones": F.size(phones_in1).cast("long"),
+            "scrubbed": F.regexp_replace(scrub1, phone_pattern, "<TEL>"),
+        }
+    )

@@ -3195,6 +3195,52 @@ def q126_streaming_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q127_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/textops.scrub_pii) hash-gated: the
+    synthetic corpus carries no PII, so the query deterministically
+    injects one email + one phone per document with engine-identical
+    string ops (concat/lpad), scrubs them, and the oracle reproduces
+    injection + scrub byte-for-byte (md5 of the scrubbed text)."""
+    from rsgislib_spark.functions.textops import scrub_pii
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example org tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    out = scrub_pii(docs)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", F.md5("scrubbed").alias("scrub_md5")
+    )
+
+
+ORACLE_Q127 = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example org tel 555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS BIGINT)
+           AS n_emails,
+         regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g') AS t1
+  FROM aug
+)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(t1, '[0-9]{3}-[0-9]{4}', '<TEL>', 'g')) AS scrub_md5
+FROM s1
+"""
+
+
 def q64_north_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full north-star pipeline (rsgislib_spark.pipeline.north_star):
     footprints → fused tiler+band+focal kernels with per-image rollup →
@@ -4920,6 +4966,7 @@ QUERIES_EXT = {
     "q124_span_scrub": q124_span_scrub,
     "q125_decontaminate": q125_decontaminate,
     "q126_streaming_decode": q126_streaming_decode,
+    "q127_pii_scrub": q127_pii_scrub,
     "q117_polygonise": q117_polygonise,
     "q118_chip_extract": q118_chip_extract,
     "q43_deterministic_sample": q43_deterministic_sample,
@@ -5086,6 +5133,7 @@ ORACLES_EXT = {
     "q125_decontaminate": ORACLE_Q125,
     # streaming decode must match the BATCH decode oracle — parity gate
     "q126_streaming_decode": ORACLE_Q122,
+    "q127_pii_scrub": ORACLE_Q127,
     "q117_polygonise": ORACLE_Q117,
     "q118_chip_extract": ORACLE_Q118,
     "q43_deterministic_sample": ORACLE_Q43,

@@ -273,3 +273,31 @@ class TestDecontaminate:
         assert bool(out.loc[1, "is_contaminated"]) and int(out.loc[1, "n_hits"]) == 1
         assert not bool(out.loc[2, "is_contaminated"])
         assert int(out.loc[3, "n_hits"]) == 2
+
+
+class TestScrubPii:
+    def test_counts_and_replacement(self, spark):
+        from rsgislib_spark.functions.textops import scrub_pii
+
+        pdf = pd.DataFrame(
+            [
+                (1, "mail me at jo.doe@site.org or call 555-1234 ok"),
+                (2, "no pii here"),
+                (3, "two mails a@b.co c.d@e.fg and 111-2222 333-4444"),
+            ],
+            columns=["doc_id", "text"],
+        )
+        out = scrub_pii(spark.createDataFrame(pdf)).toPandas().set_index("doc_id")
+        assert int(out.loc[1, "n_emails"]) == 1 and int(out.loc[1, "n_phones"]) == 1
+        assert out.loc[1, "scrubbed"] == "mail me at <EMAIL> or call <TEL> ok"
+        assert int(out.loc[2, "n_emails"]) == 0 and out.loc[2, "scrubbed"] == "no pii here"
+        assert int(out.loc[3, "n_emails"]) == 2 and int(out.loc[3, "n_phones"]) == 2
+
+    def test_phone_inside_email_not_double_counted(self, spark):
+        from rsgislib_spark.functions.textops import scrub_pii
+
+        pdf = pd.DataFrame([(1, "x 555-123456@host.net y")], columns=["doc_id", "text"])
+        out = scrub_pii(spark.createDataFrame(pdf)).toPandas().iloc[0]
+        # the email regex consumes the digits; phone count sees the
+        # post-email-scrub text
+        assert int(out["n_emails"]) == 1 and int(out["n_phones"]) == 0
