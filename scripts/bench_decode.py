@@ -71,7 +71,13 @@ def main() -> None:
     spark = get_spark(
         master=f"local[{cpus}]",
         app_name="bench_decode",
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            # fat binary rows: 64-row Arrow batches pipeline the
+            # JVM→Python transfer with the decode compute (an 8 MB
+            # partition is ~330 rows = one default batch per task)
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
+        },
     )
     path = build_table(spark, n)
     images = spark.read.parquet(path)
