@@ -89,14 +89,13 @@ def run_bench(sf_dir: str, cpus: int, queries_to_run=None) -> dict:
             # binary scans split by bytes or the decode fan-out idles cores
             prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
-            # small Arrow batches on fat binary rows: an 8 MB partition is
-            # ~330 rows = ONE default batch per task, so the JVM→Python
-            # transfer and the decode compute run serially; 64-row batches
-            # pipeline them (measured 3.2× on the bytes pass-through,
-            # ~18% end-to-end under ambient noise). Scoped: skinny-row
-            # operators want LARGE batches, so this never goes global.
-            prev_recs = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
-            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+            # Arrow batch sizing is PER-OP: transfer-bound payload ops
+            # (image_features, tile_images) win ~3× with 64-row batches
+            # (JVM→Python transfer pipelines with decode), but q91's
+            # fused decode+zonal kernel computes enough per row that the
+            # per-batch overhead (STRtree lookups, partial aggregation)
+            # dominates instead — interleaved A/B: default 5.66 s vs 64-row
+            # 9.53 s best — so q91 keeps the default batching.
             t0 = time.perf_counter()
             df = north_star_decoded(
                 spark, sf_dir, images_bytes=spark.read.parquet(bytes_path)
@@ -105,7 +104,6 @@ def run_bench(sf_dir: str, cpus: int, queries_to_run=None) -> dict:
             timings[name] = round(time.perf_counter() - t0, 4)
             timings[f"{name}__rows"] = n
             spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
-            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev_recs)
             continue
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)

@@ -71,13 +71,7 @@ def main() -> None:
     spark = get_spark(
         master=f"local[{cpus}]",
         app_name="bench_decode",
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
-            # fat binary rows: 64-row Arrow batches pipeline the
-            # JVM→Python transfer with the decode compute (an 8 MB
-            # partition is ~330 rows = one default batch per task)
-            "spark.sql.execution.arrow.maxRecordsPerBatch": "64",
-        },
+        extra_conf={"spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024)},
     )
     path = build_table(spark, n)
     images = spark.read.parquet(path)
@@ -98,6 +92,14 @@ def main() -> None:
     # and the full 3-op sweep straddles them — per-op runs fit a quiet gap
     only = set(sys.argv[2:])
     results = {}
+    # Arrow batch sizing is PER-OP (interleaved A/B, r4): transfer-bound
+    # ops (image_features, tile_images — fat bytes in, and tiles out)
+    # win ~3× with 64-row batches because an 8 MB partition is ~330 rows
+    # = ONE default batch per task, serializing transfer then compute;
+    # q91's fused decode+zonal kernel computes enough per row that
+    # per-batch overhead dominates instead, so it keeps the default.
+    batch_recs = {"image_features": "64", "tile_images": "64",
+                  "north_star_decoded": "10000"}
     for name, job in (
         ("image_features", lambda: image_features(images)),
         ("tile_images", lambda: tile_images(images, 64, 64)),
@@ -108,6 +110,9 @@ def main() -> None:
     ):
         if only and name not in only:
             continue
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", batch_recs[name]
+        )
         best = None
         # min-of-N against host noise (bursts arrive ~every 6 min; more
         # repeats raise the chance one run lands clean)
