@@ -50,7 +50,13 @@ def resize_mean2(arr: np.ndarray) -> np.ndarray:
 def image_features(images: DataFrame) -> DataFrame:
     """Decode + feature-extract per image: pixel mean/std, a 4×4
     mean-pooled thumbnail signature, and the 64-bit phash. Input schema =
-    the input_hint table (image_id, bytes, w, h, fmt, ...)."""
+    the input_hint table (image_id, bytes, w, h, fmt, ...).
+
+    Tuning: this op is JVM→Python transfer-bound on fat binary rows —
+    set spark.sql.execution.arrow.maxRecordsPerBatch ≈ 64 for the
+    session running it (an 8 MB payload partition is ~330 rows = ONE
+    default batch per task, serializing transfer then compute;
+    small batches pipeline them — measured ~3× in scripts/bench_decode)."""
     from rsgislib_spark.kernels.phash import phash64
 
     def _run(it):

@@ -63,6 +63,11 @@ def tile_images(
 
     Cell assignment: the grid cell containing the tile's spatial center
     (image row 0 is the TOP of the footprint, GDAL convention).
+
+    Tuning: transfer-bound BOTH ways (bytes in, tile payloads out) —
+    set spark.sql.execution.arrow.maxRecordsPerBatch ≈ 64 for the
+    session running it (measured 3.2× vs the default; see
+    scripts/bench_decode.py and BENCH/BASELINE.md).
     """
     if mode not in _MODES:
         raise ValueError(f"mode must be one of {_MODES}")
