@@ -340,6 +340,28 @@ def phash_near_dups(images: DataFrame, id_col: str = "image_id", max_bits: int =
     )
 
 
+def _doc_token_base(frame: DataFrame, text_col: str, cols: list) -> DataFrame:
+    """Whitespace-tokenized base for the exact-substring family:
+    ``t`` = non-empty tokens, ``n_tok`` = token count, over ALL rows
+    (docs shorter than the span width still get an output row — they
+    just contribute no spans)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    return frame.select(*cols, toks.alias("t")).withColumn("n_tok", F.size("t"))
+
+
+def _span_grams_expr(n: int):
+    """Array column of md5 gram keys, one per sliding ``n``-token window
+    of ``t`` (1-based window starts). The md5-of-space-joined-window key
+    is THE cross-engine oracle contract shared by q123/q124/q125 — both
+    Spark and DuckDB produce the identical lowercase-hex digest, so the
+    oracles join on the same value. Callers must pre-filter to
+    n_tok >= n: F.sequence(1, n_tok-(n-1)) DESCENDS for shorter docs."""
+    return F.transform(
+        F.sequence(F.lit(1), F.col("n_tok") - (n - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, n))),
+    )
+
+
 def duplicated_span_stats(
     df: DataFrame,
     n: int = 8,
@@ -363,29 +385,18 @@ def duplicated_span_stats(
     md5 of the space-joined window keeps shuffle keys fixed-width
     instead of arbitrary-length text, and both engines (Spark, DuckDB)
     produce the identical lowercase-hex md5, so the oracle joins on the
-    same key. Per-doc span totals are the closed form n_tok − n + 1 —
-    no second explode. The reference has no text-dedup machinery; this
-    extends the engine's LLM-pipeline dedup family
+    same key. Per-doc span totals are the closed form
+    max(n_tok − n + 1, 0) — no second explode; docs shorter than ``n``
+    tokens can hold no span and pass through with (0, 0, 0.0) rather
+    than vanishing from the output. The reference has no text-dedup
+    machinery; this extends the engine's LLM-pipeline dedup family
     (minhash/simhash/ngram-jaccard/exact-hash).
     """
     from rsgislib_spark.qcommon import widen
 
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
-    base = (
-        widen(df)
-        .select(id_col, toks.alias("t"))
-        .withColumn("n_tok", F.size("t"))
-        .filter(F.col("n_tok") >= n)
-    )
-    spans = base.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tok") - (n - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, n))),
-            )
-        ).alias("gram"),
-    )
+    alldocs = _doc_token_base(widen(df), text_col, [id_col])
+    base = alldocs.filter(F.col("n_tok") >= n)
+    spans = base.select(id_col, F.explode(_span_grams_expr(n)).alias("gram"))
     # per feeds BOTH the doc-frequency branch and the flag-join branch —
     # materialize once (localCheckpoint, auto-reclaimed on GC) so the
     # span explode + first shuffle run a single time, not per branch
@@ -405,7 +416,9 @@ def duplicated_span_stats(
         .groupBy(id_col)
         .agg(F.sum("c").alias("n_dup_spans"))
     )
-    tot = base.select(id_col, (F.col("n_tok") - (n - 1)).alias("n_spans"))
+    tot = alldocs.select(
+        id_col, F.greatest(F.col("n_tok") - (n - 1), F.lit(0)).alias("n_spans")
+    )
     return (
         tot.join(docdup, id_col, "left")
         .fillna({"n_dup_spans": 0})
@@ -413,7 +426,9 @@ def duplicated_span_stats(
             id_col,
             F.col("n_spans").cast("long").alias("n_spans"),
             F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
-            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6).alias("dup_ratio"),
+            F.when(F.col("n_spans") > 0, F.round(F.col("n_dup_spans") / F.col("n_spans"), 6))
+            .otherwise(F.lit(0.0))
+            .alias("dup_ratio"),
         )
     )
 
@@ -439,17 +454,14 @@ def remove_duplicated_spans(
     to their documents as one collect_list groupBy [shuffle on doc] and
     the per-token coverage test runs as a Catalyst array expression —
     O(|starts|·n_tok) per row with bounded-length documents, zero
-    Python. Token positions are 1-based.
+    Python. Token positions are 1-based. Docs shorter than ``n`` tokens
+    can carry no span: they pass through unchanged (n_kept = n_tok,
+    n_removed = 0) instead of vanishing from the scrubbed corpus.
     """
     from rsgislib_spark.qcommon import widen
 
-    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
-    base = (
-        widen(df)
-        .select(id_col, toks.alias("t"))
-        .withColumn("n_tok", F.size("t"))
-        .filter(F.col("n_tok") >= n)
-    )
+    alldocs = _doc_token_base(widen(df), text_col, [id_col])
+    base = alldocs.filter(F.col("n_tok") >= n)
     # spans feeds BOTH the cross-doc frequency branch and the start-
     # position collect — materialize the explode once (localCheckpoint,
     # the repo's ngram_jaccard/minhash precedent) instead of running the
@@ -457,12 +469,7 @@ def remove_duplicated_spans(
     spans = (
         base.select(
             id_col,
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("n_tok") - (n - 1)),
-                    lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, n))),
-                )
-            ).alias("pos0", "gram"),
+            F.posexplode(_span_grams_expr(n)).alias("pos0", "gram"),
         )
         .select(id_col, (F.col("pos0") + 1).alias("start"), "gram")
         .localCheckpoint(eager=True)
@@ -483,7 +490,7 @@ def remove_duplicated_spans(
         F.col("starts"), lambda s: (p >= s) & (p <= s + span_w)
     )
     out = (
-        base.join(starts, id_col, "left")
+        alldocs.join(starts, id_col, "left")
         .withColumn("starts", F.coalesce("starts", F.array()))
         .withColumn(
             "kept",
@@ -520,35 +527,25 @@ def decontaminate(
     broadcast-hash semi join with ZERO shuffle of span rows; the only
     shuffle is the per-doc rollup of (doc, hit) counts, map-side
     combined. Same md5 span keys as duplicated_span_stats, so the
-    DuckDB oracle joins on identical values.
+    DuckDB oracle joins on identical values. Corpus docs shorter than
+    ``n`` tokens hold no span — they are reported clean (0 spans,
+    0 hits), not dropped from the contamination report.
     """
     from rsgislib_spark.qcommon import widen
 
-    def _spans(frame: DataFrame, col: str, keep_id: bool):
-        toks = F.filter(F.split(F.col(col), " "), lambda x: x != F.lit(""))
-        base = (
-            frame.select(*([id_col] if keep_id else []), toks.alias("t"))
-            .withColumn("n_tok", F.size("t"))
-            .filter(F.col("n_tok") >= n)
-        )
-        grams = F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tok") - (n - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i, n))),
-            )
-        ).alias("gram")
-        return base, grams
-
-    pbase, pgrams = _spans(probes, probe_text_col, keep_id=False)
-    probe_grams = pbase.select(pgrams).distinct()
-    dbase, dgrams = _spans(widen(df), text_col, keep_id=True)
-    spans = dbase.select(id_col, dgrams)
+    gram_expr = F.explode(_span_grams_expr(n)).alias("gram")
+    pbase = _doc_token_base(probes, probe_text_col, []).filter(F.col("n_tok") >= n)
+    probe_grams = pbase.select(gram_expr).distinct()
+    alldocs = _doc_token_base(widen(df), text_col, [id_col])
+    spans = alldocs.filter(F.col("n_tok") >= n).select(id_col, gram_expr)
     hits = (
         spans.join(F.broadcast(probe_grams), "gram")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
-    tot = dbase.select(id_col, (F.col("n_tok") - (n - 1)).alias("n_spans"))
+    tot = alldocs.select(
+        id_col, F.greatest(F.col("n_tok") - (n - 1), F.lit(0)).alias("n_spans")
+    )
     return (
         tot.join(hits, id_col, "left")
         .fillna({"n_hits": 0})

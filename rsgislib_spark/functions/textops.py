@@ -153,17 +153,21 @@ def scrub_pii(
     regexp_replace inside whole-stage codegen — zero Python, rides the
     scan at 100 TB). Patterns are restricted to the RE2/Java-common
     subset above so a SQL oracle reproduces the scrub byte-for-byte.
-    Adds n_emails, n_phones, and the scrubbed text column."""
-    emails = F.expr(f"regexp_extract_all({text_col}, '{email_pattern}', 0)")
-    scrub1 = F.regexp_replace(F.col(text_col), email_pattern, "<EMAIL>")
-    phones_in1 = F.expr(
-        f"regexp_extract_all(regexp_replace({text_col}, '{email_pattern}', '<EMAIL>'),"
-        f" '{phone_pattern}', 0)"
-    )
-    return df.withColumns(
-        {
-            "n_emails": F.size(emails).cast("long"),
-            "n_phones": F.size(phones_in1).cast("long"),
-            "scrubbed": F.regexp_replace(scrub1, phone_pattern, "<TEL>"),
-        }
+    Adds n_emails, n_phones, and the scrubbed text column.
+
+    The email scrub is built ONCE (an intermediate column) and both the
+    phone count and the final scrub read it — no re-stated regex to
+    drift out of sync with the count, and one fewer full-text regex
+    pass per row if codegen doesn't CSE the duplicate trees."""
+    pat = lambda p: F.lit(p)  # noqa: E731 — DSL regexp args are Columns
+    emails = F.regexp_extract_all(F.col(text_col), pat(email_pattern), F.lit(0))
+    return (
+        df.withColumn("n_emails", F.size(emails).cast("long"))
+        .withColumn("_scrub1", F.regexp_replace(F.col(text_col), email_pattern, "<EMAIL>"))
+        .withColumn(
+            "n_phones",
+            F.size(F.regexp_extract_all(F.col("_scrub1"), pat(phone_pattern), F.lit(0))).cast("long"),
+        )
+        .withColumn("scrubbed", F.regexp_replace(F.col("_scrub1"), phone_pattern, "<TEL>"))
+        .drop("_scrub1")
     )

@@ -344,6 +344,15 @@ def arrow_binary_views(arr) -> list:
     t = arr.type
     wide = pa.types.is_large_binary(t) or pa.types.is_large_string(t)
     off_dt = np.int64 if wide else np.int32
+    if arr.null_count:
+        # a null payload's offsets are degenerate (empty slice) — the
+        # downstream decoder would fail with an opaque buffer-size error
+        # (or worse, tolerate the empty buffer and emit garbage). Fail
+        # here with the actual cause.
+        raise ValueError(
+            f"{arr.null_count} null payload row(s) in binary column; "
+            "filter or repair null bytes before the decode operator"
+        )
     bufs = arr.buffers()  # [validity, offsets, data]
     offs = np.frombuffer(bufs[1], dtype=off_dt)[arr.offset : arr.offset + len(arr) + 1]
     mv = memoryview(bufs[2])

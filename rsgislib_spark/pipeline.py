@@ -111,11 +111,19 @@ def lattice_grid(keys: np.ndarray, w: int, h: int) -> np.ndarray:
     chunk of same-shape images, as (m, h, w) uint8. The per-pixel modulo
     is replaced by a conditional subtract: both addends are pre-reduced
     mod 251, so their sum is < 502 and one masked subtract restores the
-    residue — 2× faster than int16 ``%`` (integer division) per pixel."""
+    residue — 2× faster than int16 ``%`` (integer division) per pixel.
+
+    The x·13 + y·17 products are formed in int32 (w·13 + h·17 would wrap
+    int16 negative from w,h ≈ 2521, and the ``%`` of the wrapped value is
+    a silently wrong residue); the reduced xym fits int16 for the
+    subsequent chunk arrays."""
     xym = (
-        (np.arange(w, dtype=np.int16) * 13)
-        + (np.arange(h, dtype=np.int16) * 17)[:, None]
-    ) % 251
+        (
+            (np.arange(w, dtype=np.int32) * 13)
+            + (np.arange(h, dtype=np.int32) * 17)[:, None]
+        )
+        % 251
+    ).astype(np.int16)
     k7 = ((keys.astype(np.int64) * 7) % 251).astype(np.int16)
     g = k7[:, None, None] + xym
     np.subtract(g, 251, out=g, where=g >= 251)

@@ -1686,7 +1686,7 @@ def _fcls_oracle_sql() -> str:
             f"{full[0]} AS a1, {full[1]} AS a2, {full[2]} AS a3, "
             f"({res}) AS res, CASE WHEN {feas} THEN 1 ELSE 0 END AS feas FROM x"
         )
-        cands_sql = " UNION ALL ".join(cands)
+    cands_sql = " UNION ALL ".join(cands)
     return _cte(f""", s AS (
   SELECT image_key, COUNT(*) AS n_px,
          CAST(SUM((image_key * 7 + gx.px * 13 + gy.py * 17) % 251) AS BIGINT) AS sum_red,
@@ -2859,26 +2859,32 @@ def q62_streaming_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming availableNow over the events table, then
     aggregate the streamed output — the ORACLE is the plain batch SQL, so
     streaming/batch parity is itself correctness-gated. Uses a per-call
-    temp dir; the checkpoint makes re-runs incremental
-    (streaming.incremental semantics)."""
+    temp dir, REMOVED before returning (repeated sweeps on a shared
+    host must not accumulate stream output under /tmp): the small
+    aggregate is localCheckpoint'ed so the returned plan no longer
+    reads the deleted parquet."""
     import os
+    import shutil
     import tempfile
 
     load_views(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="rsgis_stream_")
-    src = os.path.join(work, "src")
-    os.makedirs(src)
-    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
-    out_dir = os.path.join(work, "out")
-    ckpt = os.path.join(work, "ckpt")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(src, "events.parquet"))
+        out_dir = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
 
-    from rsgislib_spark.streaming.incremental import incremental_event_counts
+        from rsgislib_spark.streaming.incremental import incremental_event_counts
 
-    incremental_event_counts(spark, src, out_dir, ckpt)
-    streamed = spark.read.parquet(out_dir)
-    return streamed.groupBy("hour", "event_type").agg(
-        F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
-    )
+        incremental_event_counts(spark, src, out_dir, ckpt)
+        streamed = spark.read.parquet(out_dir)
+        return streamed.groupBy("hour", "event_type").agg(
+            F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 ORACLE_Q62 = """
@@ -3052,11 +3058,12 @@ def q123_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q123 = """
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+WITH alld AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tok
   FROM documents
 ), base AS (
-  SELECT doc_id, t, len(t) AS n_tok FROM toks WHERE len(t) >= 8
+  SELECT doc_id, t, n_tok FROM alld WHERE n_tok >= 8
 ), spans AS (
   SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
   FROM base, LATERAL (SELECT unnest(generate_series(1, n_tok - 7)) AS i) s
@@ -3068,10 +3075,12 @@ WITH toks AS (
   SELECT p.doc_id, SUM(p.c) AS n_dup FROM per p JOIN dup USING (g) GROUP BY 1
 )
 SELECT b.doc_id,
-       CAST(b.n_tok - 7 AS BIGINT) AS n_spans,
+       CAST(GREATEST(b.n_tok - 7, 0) AS BIGINT) AS n_spans,
        CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
-       ROUND(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / (b.n_tok - 7), 6) AS dup_ratio
-FROM base b LEFT JOIN docdup d USING (doc_id)
+       CASE WHEN b.n_tok - 7 > 0
+            THEN ROUND(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / (b.n_tok - 7), 6)
+            ELSE 0.0 END AS dup_ratio
+FROM alld b LEFT JOIN docdup d USING (doc_id)
 """
 
 
@@ -3087,11 +3096,12 @@ def q124_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q124 = """
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+WITH alld AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tok
   FROM documents
 ), base AS (
-  SELECT doc_id, t, len(t) AS n_tok FROM toks WHERE len(t) >= 8
+  SELECT doc_id, t, n_tok FROM alld WHERE n_tok >= 8
 ), spans AS (
   SELECT doc_id, i AS start, md5(array_to_string(t[i:i+7], ' ')) AS g
   FROM base, LATERAL (SELECT unnest(generate_series(1, n_tok - 7)) AS i) s
@@ -3101,7 +3111,8 @@ WITH toks AS (
   SELECT sp.doc_id, sp.start FROM spans sp JOIN dup USING (g)
 ), tokpos AS (
   SELECT doc_id, i, t[i] AS tok
-  FROM base, LATERAL (SELECT unnest(generate_series(1, n_tok)) AS i) s
+  FROM alld, LATERAL (SELECT unnest(generate_series(1, n_tok)) AS i) s
+  WHERE n_tok >= 1
 ), kept AS (
   SELECT tp.doc_id, tp.i, tp.tok
   FROM tokpos tp
@@ -3118,7 +3129,7 @@ SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
        CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
        CAST(b.n_tok - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
        COALESCE(k.kept_md5, md5('')) AS kept_md5
-FROM base b LEFT JOIN kagg k USING (doc_id)
+FROM alld b LEFT JOIN kagg k USING (doc_id)
 """
 
 
@@ -3137,11 +3148,12 @@ def q125_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_Q125 = """
-WITH toks AS (
-  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+WITH alld AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tok
   FROM documents
 ), base AS (
-  SELECT doc_id, t, len(t) AS n_tok FROM toks WHERE len(t) >= 8
+  SELECT doc_id, t, n_tok FROM alld WHERE n_tok >= 8
 ), spans AS (
   SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS g
   FROM base, LATERAL (SELECT unnest(generate_series(1, n_tok - 7)) AS i) s
@@ -3154,10 +3166,10 @@ WITH toks AS (
   GROUP BY sp.doc_id
 )
 SELECT b.doc_id,
-       CAST(b.n_tok - 7 AS BIGINT) AS n_spans,
+       CAST(GREATEST(b.n_tok - 7, 0) AS BIGINT) AS n_spans,
        CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
        COALESCE(h.n_hits, 0) > 0 AS is_contaminated
-FROM base b LEFT JOIN hits h USING (doc_id)
+FROM alld b LEFT JOIN hits h USING (doc_id)
 WHERE b.doc_id % 97 <> 0
 """
 
@@ -3169,8 +3181,12 @@ def q126_streaming_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInArrow plan runs unchanged under streaming), and the streamed
     output must match the BATCH oracle (ORACLE_Q122) hash-exactly —
     streaming/batch parity for the decode path, the q62 pattern applied
-    to the 100 TB continuous-ingest shape."""
+    to the 100 TB continuous-ingest shape. The per-call temp dir (which
+    briefly holds a bytes-table copy) is REMOVED before returning; the
+    skinny feature result is localCheckpoint'ed so the returned plan no
+    longer reads the deleted stream output."""
     import os
+    import shutil
     import tempfile
 
     from rsgislib_spark.pipeline import encode_images_df
@@ -3178,21 +3194,24 @@ def q126_streaming_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_views(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="rsgis_sdec_")
-    src = os.path.join(work, "src")
-    out = os.path.join(work, "out")
-    ckpt = os.path.join(work, "ckpt")
-    imgs = encode_images_df(spark, sf_dir, where=F.col("image_key") % 17 == 0)
-    imgs.select(
-        F.col("image_key").cast("string").alias("image_id"), "bytes", "w", "h", "fmt"
-    ).write.parquet(src)
-    streaming_image_features(spark, src, out, ckpt)
-    feats = spark.read.parquet(out)
-    return feats.select(
-        F.col("image_id").cast("long").alias("image_key"),
-        F.round("px_mean", 6).alias("px_mean"),
-        F.round("px_std", 6).alias("px_std"),
-        F.round(F.expr("aggregate(thumb16, 0D, (a, x) -> a + x)"), 6).alias("thumb_sum"),
-    )
+    try:
+        src = os.path.join(work, "src")
+        out = os.path.join(work, "out")
+        ckpt = os.path.join(work, "ckpt")
+        imgs = encode_images_df(spark, sf_dir, where=F.col("image_key") % 17 == 0)
+        imgs.select(
+            F.col("image_key").cast("string").alias("image_id"), "bytes", "w", "h", "fmt"
+        ).write.parquet(src)
+        streaming_image_features(spark, src, out, ckpt)
+        feats = spark.read.parquet(out)
+        return feats.select(
+            F.col("image_id").cast("long").alias("image_key"),
+            F.round("px_mean", 6).alias("px_mean"),
+            F.round("px_std", 6).alias("px_std"),
+            F.round(F.expr("aggregate(thumb16, 0D, (a, x) -> a + x)"), 6).alias("thumb_sum"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def q127_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -106,3 +106,16 @@ def test_arrow_binary_views_layouts():
         arr = pa.array(payload, type=typ)
         assert [bytes(v) for v in codecs.arrow_binary_views(arr)] == payload
         assert [bytes(v) for v in codecs.arrow_binary_views(arr.slice(1))] == payload[1:]
+
+
+def test_arrow_binary_views_rejects_nulls():
+    """A null payload row must fail diagnosably at the Arrow boundary,
+    not surface as an empty buffer deep inside a decoder."""
+    import pytest
+    import pyarrow as pa
+
+    arr = pa.array([b"abc", None, b"xyz"], type=pa.binary())
+    with pytest.raises(ValueError, match="null payload"):
+        codecs.arrow_binary_views(arr)
+    # a slice past the null is all-valid again and must work
+    assert [bytes(v) for v in codecs.arrow_binary_views(arr.slice(2))] == [b"xyz"]

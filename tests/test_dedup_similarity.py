@@ -187,7 +187,7 @@ class TestDuplicatedSpanStats:
                                 (2, "a b c d e f g h i")])
         assert got[1] == (9, 0)
 
-    def test_short_docs_dropped_and_multiplicity_summed(self, spark):
+    def test_short_docs_pass_through_and_multiplicity_summed(self, spark):
         shared = "a b c d e f g h"
         got = self._run(
             spark,
@@ -195,10 +195,10 @@ class TestDuplicatedSpanStats:
                 (1, shared + " " + shared),  # 16 tokens; the shared span at
                                              # pos 1 and 9 both count once dup'd
                 (2, shared),
-                (3, "too short"),            # < 8 tokens: no row
+                (3, "too short"),            # < 8 tokens: (0, 0), NOT dropped
             ],
         )
-        assert 3 not in got
+        assert got[3] == (0, 0)
         assert got[2] == (1, 1)
         assert got[1][1] >= 2  # both occurrences of the shared span count
 
@@ -252,6 +252,23 @@ class TestRemoveDuplicatedSpans:
         assert out.loc[1, "kept_md5"] == hashlib.md5(b"u v w").hexdigest()
         assert out.loc[2, "kept_md5"] == hashlib.md5(b"k").hexdigest()
 
+    def test_short_doc_passes_through_unchanged(self, spark):
+        import hashlib
+
+        shared = "a b c d e f g h"
+        got = self._run(
+            spark,
+            [(1, shared + " x"), (2, "z " + shared), (3, "too short")],
+        )
+        # a 2-token doc can hold no 8-token span: unchanged, not dropped
+        assert got[3] == (2, 2, 0)
+
+        from rsgislib_spark.functions.dedup import remove_duplicated_spans
+
+        pdf = pd.DataFrame([(3, "too short")], columns=["doc_id", "text"])
+        out = remove_duplicated_spans(spark.createDataFrame(pdf), n=8).toPandas()
+        assert out.loc[0, "kept_md5"] == hashlib.md5(b"too short").hexdigest()
+
 
 class TestDecontaminate:
     def test_overlap_flags_and_counts(self, spark):
@@ -273,6 +290,22 @@ class TestDecontaminate:
         assert bool(out.loc[1, "is_contaminated"]) and int(out.loc[1, "n_hits"]) == 1
         assert not bool(out.loc[2, "is_contaminated"])
         assert int(out.loc[3, "n_hits"]) == 2
+
+    def test_short_corpus_doc_reported_clean(self, spark):
+        from rsgislib_spark.functions.dedup import decontaminate
+
+        corpus = pd.DataFrame(
+            [(1, "too short"), (2, "a b c d e f g h i")],
+            columns=["doc_id", "text"],
+        )
+        probes = pd.DataFrame([(100, "a b c d e f g h")], columns=["doc_id", "text"])
+        out = decontaminate(
+            spark.createDataFrame(corpus), spark.createDataFrame(probes), n=8
+        ).toPandas().set_index("doc_id")
+        # the 2-token doc holds no span: clean with 0 spans, NOT missing
+        assert int(out.loc[1, "n_spans"]) == 0
+        assert int(out.loc[1, "n_hits"]) == 0
+        assert not bool(out.loc[1, "is_contaminated"])
 
 
 class TestScrubPii:

@@ -339,3 +339,19 @@ class TestSTRtree:
         t1 = strtree.STRtree(np.array([[0, 0, 5, 5.0]]))
         qi, ii = t1.query(np.array([[1, 1, 2, 2.0], [9, 9, 10, 10.0]]))
         assert qi.tolist() == [0] and ii.tolist() == [0]
+
+
+class TestLatticeGrid:
+    def test_matches_mod_formula_including_large_dims(self):
+        """int32 product path: w,h past the old int16 wrap point (2521)
+        must still give the exact (k*7 + x*13 + y*17) % 251 residues."""
+        from rsgislib_spark.pipeline import lattice_grid
+
+        keys = np.array([3, 1_000_000_007], dtype=np.int64)
+        for w, h in [(64, 48), (3000, 2), (2, 2600)]:
+            g = lattice_grid(keys, w, h)
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            expect = (keys[:, None, None] * 7 + x * 13 + y[:, None] * 17) % 251
+            assert g.dtype == np.uint8
+            assert np.array_equal(g, expect.astype(np.uint8)), (w, h)
