@@ -81,6 +81,14 @@ def run_bench(sf_dir: str, cpus: int, queries_to_run=None) -> dict:
     spark.range(cpus * 4).repartition(cpus).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # Each query is executed PASSES times and the MIN wall recorded —
+    # the per-level-minima protocol BENCH/BASELINE.md uses everywhere:
+    # the shared host's external load bursts (8-25 loadavg, zero
+    # in-container processes) land mid-run and a single-shot timing
+    # then measures the burst, not the engine. The first pass also
+    # absorbs per-query one-time costs a steady-state deployment never
+    # pays per query (worker-side module imports, codegen compile).
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     for name in names:
         if name == "q91_north_star_decoded":
             from rsgislib_spark.pipeline import north_star_decoded
@@ -96,20 +104,23 @@ def run_bench(sf_dir: str, cpus: int, queries_to_run=None) -> dict:
             # per-batch overhead (STRtree lookups, partial aggregation)
             # dominates instead — interleaved A/B: default 5.66 s vs 64-row
             # 9.53 s best — so q91 keeps the default batching.
+            def run_once(_name=name):
+                return north_star_decoded(
+                    spark, sf_dir, images_bytes=spark.read.parquet(bytes_path)
+                ).count()
+        else:
+            def run_once(_name=name):
+                return QUERIES[_name](spark, sf_dir).count()
+        best, n = None, None
+        for _ in range(max(1, passes)):
             t0 = time.perf_counter()
-            df = north_star_decoded(
-                spark, sf_dir, images_bytes=spark.read.parquet(bytes_path)
-            )
-            n = df.count()
-            timings[name] = round(time.perf_counter() - t0, 4)
-            timings[f"{name}__rows"] = n
-            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
-            continue
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+            n = run_once()
+            wall = time.perf_counter() - t0
+            best = wall if best is None else min(best, wall)
+        timings[name] = round(best, 4)
         timings[f"{name}__rows"] = n
+        if name == "q91_north_star_decoded":
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
     spark.stop()
     return timings
 
