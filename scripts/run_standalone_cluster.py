@@ -124,6 +124,12 @@ def submit(sf_dir: str, rep: int, cores_max: int, executor_cores: int = 8,
         "--conf", "spark.executor.memory=16g",
         "--conf", "spark.sql.shuffle.partitions=64",
         "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=8192",
+        # Multi-executor only: the 3 s default locality wait idles cores
+        # whenever the scheduler holds a task for a preferred executor —
+        # this pipeline's tasks are CPU-bound with small single-box
+        # reads, so locality buys nothing and the wait is pure stall.
+        # local-mode runs never see this (one executor = no preference).
+        "--conf", "spark.locality.wait=0s",
         f"{REPO}/scripts/submit_north_star.py", sf_dir, str(rep),
         str(n_parts), "2"]
     p = subprocess.run(
