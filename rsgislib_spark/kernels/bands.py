@@ -165,8 +165,9 @@ def bai(red, nir, scale_factor: float = 1000.0) -> np.ndarray:
     out = np.full(r.shape, _NODATA)
     nz = (_f(red) + _f(nir)) != 0
     with np.errstate(divide="ignore"):
-        # (red,nir) exactly at (0.1,0.06) reflectance → inf, masked by
-        # callers; errstate keeps worker logs clean at scale
+        # (red,nir) exactly at (0.1,0.06) reflectance → inf propagates,
+        # matching the reference (calc_bai guards only (nir+red)!=0 and
+        # emits inf there too); errstate keeps worker logs clean at scale
         out[nz] = 1.0 / ((0.1 - r[nz]) ** 2 + (0.06 - n[nz]) ** 2)
     return out
 
