@@ -22,6 +22,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from rsgislib_spark.datagen import PIXEL_SIZE
+#: Driver fence for the broadcast side (fenced_small_pdf) — patchable in tests.
+MAX_BROADCAST_POINTS = 5_000_000
+
 
 
 def extract_chips(
@@ -39,7 +42,14 @@ def extract_chips(
     from rsgislib_spark.kernels import bands as BK
 
     spark = images.sparkSession
-    pts_pdf = points.select("pt_id", "x", "y").toPandas()
+    from rsgislib_spark.qcommon import fenced_small_pdf
+
+    pts_pdf = fenced_small_pdf(
+        points.select("pt_id", "x", "y"),
+        "chip extraction broadcast point set",
+        "Cell-bucket the points and join on the image cell key instead.",
+        max_rows=MAX_BROADCAST_POINTS,
+    )
     pts_b = spark.sparkContext.broadcast(
         (
             pts_pdf["pt_id"].to_numpy(np.int64),

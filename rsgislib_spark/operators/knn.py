@@ -46,6 +46,9 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 
 METRICS = ("euclidean", "manhattan", "chebyshev", "minkowski", "mahalanobis")
 SUMMARIES = ("mean", "median", "mode", "min", "max", "stddev")
+#: Driver fence for the broadcast side (fenced_small_pdf) — patchable in tests.
+MAX_BROADCAST_TRAIN = 5_000_000
+
 
 #: Linear cell-key grid dimension (matches kernels.cells.linear_cell).
 GRID_DIM = 1 << 21
@@ -543,7 +546,14 @@ def knn_apply(
     if summary not in SUMMARIES:
         raise ValueError(f"summary must be one of {SUMMARIES}")
     spark = apply_df.sparkSession
-    tr = train_df.select(*dict.fromkeys([*feat_cols, val_col])).toPandas()
+    from rsgislib_spark.qcommon import fenced_small_pdf
+
+    tr = fenced_small_pdf(
+        train_df.select(*dict.fromkeys([*feat_cols, val_col])),
+        "knn_apply broadcast training set",
+        "Use knn_features_bucketed (cell-bucketed scale path) instead.",
+        max_rows=MAX_BROADCAST_TRAIN,
+    )
     t_feats = tr[list(feat_cols)].to_numpy(np.float64)
     t_vals = tr[val_col].to_numpy(np.float64)
     vi = None
@@ -615,7 +625,14 @@ def closest_point_join(
             .withColumn("dist", F.coalesce(F.col("dist"), F.lit(float("nan"))))
         )
     spark = base.sparkSession
-    m = match.select(match_id, "x", "y").toPandas()
+    from rsgislib_spark.qcommon import fenced_small_pdf
+
+    m = fenced_small_pdf(
+        match.select(match_id, "x", "y"),
+        "closest_point_join broadcast match set",
+        'Use strategy="bucketed" (knn_points_bucketed) instead.',
+        max_rows=MAX_BROADCAST_TRAIN,
+    )
     b = spark.sparkContext.broadcast(
         (m[match_id].to_numpy(np.int64), m["x"].to_numpy(np.float64), m["y"].to_numpy(np.float64))
     )
@@ -657,7 +674,14 @@ def radius_count(points: DataFrame, radius: float, id_col: str = "pt_id") -> Dat
     ``calc_npts_in_radius`` (``vectorattrs/__init__.py:997-1049``, KDTree
     ball query minus self)."""
     spark = points.sparkSession
-    p = points.select(id_col, "x", "y").toPandas()
+    from rsgislib_spark.qcommon import fenced_small_pdf
+
+    p = fenced_small_pdf(
+        points.select(id_col, "x", "y"),
+        "radius_count broadcast point set",
+        "Use radius_count_bucketed (cell equi-join scale path) instead.",
+        max_rows=MAX_BROADCAST_TRAIN,
+    )
     b = spark.sparkContext.broadcast(
         (p["x"].to_numpy(np.float64), p["y"].to_numpy(np.float64))
     )

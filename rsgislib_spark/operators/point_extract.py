@@ -22,6 +22,9 @@ from pyspark.sql import DataFrame, functions as F
 
 from rsgislib_spark.datagen import PIXEL_SIZE
 from rsgislib_spark.kernels import codecs, pixelmath
+#: Driver fence for the broadcast side (fenced_small_pdf) — patchable in tests.
+MAX_BROADCAST_POINTS = 5_000_000
+
 
 
 def extract_point_values(
@@ -35,7 +38,14 @@ def extract_point_values(
     """Returns points + ``value`` column (out_no_data_val where no image
     covers the point or the value fails the threshold rule)."""
     spark = images.sparkSession
-    pts_pdf = points.select("pt_id", "x", "y").toPandas()
+    from rsgislib_spark.qcommon import fenced_small_pdf
+
+    pts_pdf = fenced_small_pdf(
+        points.select("pt_id", "x", "y"),
+        "point_extract broadcast point set",
+        "Cell-bucket the points and join on the image cell key instead.",
+        max_rows=MAX_BROADCAST_POINTS,
+    )
     pts_b = spark.sparkContext.broadcast(
         (
             pts_pdf["pt_id"].to_numpy(np.int64),

@@ -38,6 +38,23 @@ from rsgislib_spark.operators.footprints import DEFAULT_RES, explode_footprint_c
 JOIN_OPS = ("intersects", "within", "contains")
 JOIN_HOWS = ("inner", "left", "right")
 
+#: Driver fence for the broadcast zone side: 500k polygons × ~1 KB WKB
+#: ≈ 0.5 GB on the driver — above that the zone side is no longer
+#: "small by construction" (SURVEY §1.1) and must go through the cells
+#: path with the zone explode run as a DataFrame op.
+MAX_BROADCAST_ZONES = 500_000
+
+
+def _fenced_zones_pdf(zones_slim: DataFrame) -> pd.DataFrame:
+    from rsgislib_spark.qcommon import fenced_small_pdf
+
+    return fenced_small_pdf(
+        zones_slim,
+        "spatial_join broadcast zone index",
+        "Use spatial_join_cells (both-sides-large path) instead.",
+        max_rows=MAX_BROADCAST_ZONES,
+    )
+
 
 class ZoneIndex:
     """Broadcastable zone-polygon index: STR bbox tree + decoded rings."""
@@ -128,7 +145,7 @@ def spatial_join_broadcast(
     if join_op not in JOIN_OPS:
         raise ValueError(f"join_op must be one of {JOIN_OPS}")
     spark = images.sparkSession
-    zones_pdf = zones.select("zone_id", "geometry").toPandas()
+    zones_pdf = _fenced_zones_pdf(zones.select("zone_id", "geometry"))
     zindex_b = spark.sparkContext.broadcast(ZoneIndex.from_pandas(zones_pdf))
 
     pairs = _pairs_df(images, zindex_b, join_op, id_col)
@@ -168,7 +185,9 @@ def spatial_join_cells(
     spark = images.sparkSession
     img_cells = explode_footprint_cells(images, res=res, id_col=id_col)
 
-    zones_pdf = zones.select("zone_id", "geometry", "minx", "miny", "maxx", "maxy").toPandas()
+    zones_pdf = _fenced_zones_pdf(
+        zones.select("zone_id", "geometry", "minx", "miny", "maxx", "maxy")
+    )
     from rsgislib_spark.kernels import cells as cellmod
 
     ridx, cc = cellmod.cells_covering_bbox(
@@ -241,7 +260,7 @@ def layer_predicate(
     stops at the first surviving pair, so a hit on an early partition
     never scans the rest."""
     spark = images.sparkSession
-    zones_pdf = zones.select("zone_id", "geometry").toPandas()
+    zones_pdf = _fenced_zones_pdf(zones.select("zone_id", "geometry"))
     zindex_b = spark.sparkContext.broadcast(ZoneIndex.from_pandas(zones_pdf))
     return not _pairs_df(images, zindex_b, join_op, id_col).isEmpty()
 
@@ -268,7 +287,7 @@ def vec_overlaps_vec(images: DataFrame, zones: DataFrame, id_col: str = "image_i
     contact cannot occur; touches/crosses remain out of scope for the
     rectilinear kernels and should use a full geometry library)."""
     spark = images.sparkSession
-    zones_pdf = zones.select("zone_id", "geometry").toPandas()
+    zones_pdf = _fenced_zones_pdf(zones.select("zone_id", "geometry"))
     zindex_b = spark.sparkContext.broadcast(ZoneIndex.from_pandas(zones_pdf))
     pi = _pairs_df(images, zindex_b, "intersects", id_col)
     pw = _pairs_df(images, zindex_b, "within", id_col)

@@ -33,6 +33,9 @@ from pyspark.sql import DataFrame, functions as F
 from rsgislib_spark.datagen import PIXEL_SIZE
 from rsgislib_spark.kernels import codecs, pixelmath
 from rsgislib_spark.operators.spatial_join import ZoneIndex
+#: Driver fence for the broadcast side (fenced_small_pdf) — patchable in tests.
+MAX_BROADCAST_ZONES = 500_000
+
 
 _PARTIAL_SCHEMA = (
     "zone_id long, n long, s double, ss double, mn double, mx double"
@@ -182,7 +185,14 @@ def zonal_band_stats(
     for zones with zero valid pixels — the reference's no-data fill rule).
     """
     spark = images.sparkSession
-    zones_pdf = zones.select("zone_id", "geometry").toPandas()
+    from rsgislib_spark.qcommon import fenced_small_pdf
+
+    zones_pdf = fenced_small_pdf(
+        zones.select("zone_id", "geometry"),
+        "zonal broadcast zone index",
+        "Bucket zones to cells and aggregate per cell instead.",
+        max_rows=MAX_BROADCAST_ZONES,
+    )
     zindex_b = spark.sparkContext.broadcast(ZoneIndex.from_pandas(zones_pdf))
 
     src = images.select("image_id", "bytes", "w", "h", "fmt", "minx", "miny")
@@ -379,7 +389,14 @@ def zonal_band_mode_median(
     counts — 256 rows per zone max — so the shuffle stays O(zones·256)
     regardless of pixel count."""
     spark = images.sparkSession
-    zones_pdf = zones.select("zone_id", "geometry").toPandas()
+    from rsgislib_spark.qcommon import fenced_small_pdf
+
+    zones_pdf = fenced_small_pdf(
+        zones.select("zone_id", "geometry"),
+        "zonal broadcast zone index",
+        "Bucket zones to cells and aggregate per cell instead.",
+        max_rows=MAX_BROADCAST_ZONES,
+    )
     zindex_b = spark.sparkContext.broadcast(ZoneIndex.from_pandas(zones_pdf))
     src = images.select("image_id", "bytes", "w", "h", "fmt", "minx", "miny")
 

@@ -75,6 +75,26 @@ def widen(df: DataFrame) -> DataFrame:
     return df
 
 
+def fenced_small_pdf(
+    df: DataFrame, what: str, scale_hint: str, max_rows: int = 5_000_000
+) -> pd.DataFrame:
+    """``toPandas()`` with a driver-OOM fence for broadcast-side tables.
+
+    The broadcast strategies (zone index, training set, match points)
+    collect a small-by-construction table to the driver; a mis-sized
+    input would OOM the driver silently. Mirrors the explicit ceiling of
+    ``similarity.cosine_block_pairs`` (functions/similarity.py): count
+    first (one cheap agg job on the slim projection), raise with a
+    pointer at the scale path when the caller should bucket instead."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{what} would collect {n} rows to the driver "
+            f"(max_rows={max_rows}). {scale_hint}"
+        )
+    return df.toPandas()
+
+
 # --------------------------------------------------------------------------
 # Shared derivation SQL (runs verbatim in Spark AND DuckDB)
 # --------------------------------------------------------------------------
