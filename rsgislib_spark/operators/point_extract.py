@@ -56,28 +56,49 @@ def extract_point_values(
     src = images.select("image_id", "bytes", "w", "h", "fmt", "minx", "miny")
     schema = "pt_id long, image_id string, value double"
 
-    def _hits(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _hits(it):
+        # mapInArrow + zero-copy views per the repo's Arrow-boundary rule
+        # for binary payload columns (4.4× on the decode bench).
+        import pyarrow as pa
+
+        from rsgislib_spark.operators.zonal import _batch_cols
+
         pid, px, py = pts_b.value
-        for pdf in it:
-            outs = []
-            for rec in pdf.itertuples(index=False):
-                h, w = int(rec.h), int(rec.w)
-                maxy = rec.miny + h * pixel_size
-                maxx = rec.minx + w * pixel_size
-                cand = (px >= rec.minx) & (px <= maxx) & (py >= rec.miny) & (py <= maxy)
+        for b in it:
+            if not b.num_rows:
+                continue
+            ids, views, ws, hs, fmts, minxs, minys = _batch_cols(
+                b, "image_id", "bytes", "w", "h", "fmt", "minx", "miny"
+            )
+            out_pid, out_img, out_val = [], [], []
+            for k in range(b.num_rows):
+                h, w = int(hs[k]), int(ws[k])
+                minx, miny = float(minxs[k]), float(minys[k])
+                maxy = miny + h * pixel_size
+                maxx = minx + w * pixel_size
+                cand = (px >= minx) & (px <= maxx) & (py >= miny) & (py <= maxy)
                 if not cand.any():
                     continue
-                img = codecs.decode_image(rec.bytes, rec.fmt, h, w)
+                img = codecs.decode_image(views[k], fmts[k], h, w)
                 ix, iy, inside = pixelmath.point_pixel_lookup(
-                    px[cand], py[cand], rec.minx, maxy, pixel_size, pixel_size, w, h
+                    px[cand], py[cand], minx, maxy, pixel_size, pixel_size, w, h
                 )
                 vals = img[iy, ix].astype(np.float64)
-                outs.append(
-                    pd.DataFrame({"pt_id": pid[cand], "image_id": rec.image_id, "value": vals})
-                )
-            yield pd.concat(outs) if outs else pd.DataFrame(columns=["pt_id", "image_id", "value"])
+                out_pid.append(pid[cand])
+                out_img.extend([ids[k]] * int(cand.sum()))
+                out_val.append(vals)
+            if not out_img:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_pid), pa.int64()),
+                    pa.array(out_img, pa.string()),
+                    pa.array(np.concatenate(out_val), pa.float64()),
+                ],
+                names=["pt_id", "image_id", "value"],
+            )
 
-    hits = src.mapInPandas(_hits, schema=schema)
+    hits = src.mapInArrow(_hits, schema=schema)
     # threshold rule: out-of-range → no-data (reference :1559-1573)
     hits = hits.withColumn(
         "value",

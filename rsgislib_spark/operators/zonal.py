@@ -16,15 +16,17 @@ Two operators:
    min/max/mean/stddev/sum/count. No-valid-pixels ⇒ nulls
    (reference fills out_no_data, ``:477-499``).
 
-Physical shape: one ``mapInPandas`` pass over images emits PARTIAL
-aggregates (zone, count, sum, sumsq, min, max) — the map-side combine —
-then a tiny ``groupBy(zone).agg`` finalizes. Pixel payloads never
-shuffle; only O(zones) partial rows do.
+Physical shape: one Arrow pass over images emits PARTIAL aggregates
+(zone, count, sum, sumsq, min, max) — the map-side combine — then a
+tiny ``groupBy(zone).agg`` finalizes. Pixel payloads never shuffle;
+only O(zones) partial rows do. Binary payload columns cross the Python
+boundary via ``mapInArrow`` + ``codecs.arrow_binary_views`` (zero-copy
+buffer slices) — the repo's Arrow-boundary rule: ``mapInPandas`` on a
+bytes column materializes per-row Python objects (measured 4.4× slower
+end-to-end on the decode bench).
 """
 
 from __future__ import annotations
-
-from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -35,6 +37,25 @@ from rsgislib_spark.kernels import codecs, pixelmath
 from rsgislib_spark.operators.spatial_join import ZoneIndex
 #: Driver fence for the broadcast side (fenced_small_pdf) — patchable in tests.
 MAX_BROADCAST_ZONES = 500_000
+
+
+def _batch_cols(b, *names):
+    """Arrow-batch columns by name: binary columns become zero-copy
+    views, ints become numpy, the rest python lists."""
+    byname = {n: b.column(i) for i, n in enumerate(b.schema.names)}
+    out = []
+    for n in names:
+        arr = byname[n]
+        t = arr.type
+        import pyarrow as pa
+
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            out.append(codecs.arrow_binary_views(arr))
+        elif pa.types.is_integer(t) or pa.types.is_floating(t):
+            out.append(arr.to_numpy(zero_copy_only=False))
+        else:
+            out.append(arr.to_pylist())
+    return out
 
 
 _PARTIAL_SCHEMA = (
@@ -81,13 +102,24 @@ def segment_stats(images: DataFrame, segments: DataFrame) -> DataFrame:
         "mn double, mx double"
     )
 
-    def _partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
+    def _partial(it):
+        import pyarrow as pa
+
+        for b in it:
+            if not b.num_rows:
+                continue
+            ids, views, ws, hs, fmts, seg_views = _batch_cols(
+                b, "image_id", "bytes", "w", "h", "fmt", "seg_bytes"
+            )
             outs = []
-            for rec in pdf.itertuples(index=False):
-                h, w = int(rec.h), int(rec.w)
-                img = codecs.decode_image(rec.bytes, rec.fmt, h, w).astype(np.float64).ravel()
-                lab = np.frombuffer(rec.seg_bytes, dtype=np.int32, count=h * w)
+            for k in range(b.num_rows):
+                h, w = int(hs[k]), int(ws[k])
+                img = (
+                    codecs.decode_image(views[k], fmts[k], h, w)
+                    .astype(np.float64)
+                    .ravel()
+                )
+                lab = np.frombuffer(seg_views[k], dtype=np.int32, count=h * w)
                 nz = int(lab.max()) + 1
                 cnt = np.bincount(lab, minlength=nz)
                 s = np.bincount(lab, weights=img, minlength=nz)
@@ -98,17 +130,22 @@ def segment_stats(images: DataFrame, segments: DataFrame) -> DataFrame:
                 mn = np.array([sorted_vals[bounds[i]:bounds[i + 1]].min() if cnt[i] else np.nan for i in range(nz)])
                 mx = np.array([sorted_vals[bounds[i]:bounds[i + 1]].max() if cnt[i] else np.nan for i in range(nz)])
                 keep = cnt > 0
-                outs.append(pd.DataFrame({
-                    "image_id": rec.image_id,
-                    "zone": np.arange(nz, dtype=np.int32)[keep],
-                    "n": cnt[keep].astype(np.int64),
-                    "s": s[keep], "ss": ss[keep], "mn": mn[keep], "mx": mx[keep],
-                }))
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                columns=["image_id", "zone", "n", "s", "ss", "mn", "mx"]
-            )
+                nk = int(keep.sum())
+                outs.append(pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([ids[k]] * nk, pa.string()),
+                        pa.array(np.arange(nz, dtype=np.int32)[keep], pa.int32()),
+                        pa.array(cnt[keep].astype(np.int64), pa.int64()),
+                        pa.array(s[keep], pa.float64()),
+                        pa.array(ss[keep], pa.float64()),
+                        pa.array(mn[keep], pa.float64()),
+                        pa.array(mx[keep], pa.float64()),
+                    ],
+                    names=["image_id", "zone", "n", "s", "ss", "mn", "mx"],
+                ))
+            yield from outs
 
-    partials = joined.mapInPandas(_partial, schema=schema)
+    partials = joined.mapInArrow(_partial, schema=schema)
     mean = F.col("s") / F.col("n")
     var = F.col("ss") / F.col("n") - mean * mean
     # one partial row per (image, zone) already — finalize per composite key
@@ -134,24 +171,32 @@ def segment_histogram(images: DataFrame, segments: DataFrame) -> DataFrame:
     )
     schema = "image_id string, zone int, value int, cnt long"
 
-    def _hist(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            outs = []
-            for rec in pdf.itertuples(index=False):
-                h, w = int(rec.h), int(rec.w)
-                img = codecs.decode_image(rec.bytes, rec.fmt, h, w).ravel().astype(np.int64)
-                lab = np.frombuffer(rec.seg_bytes, dtype=np.int32, count=h * w).astype(np.int64)
+    def _hist(it):
+        import pyarrow as pa
+
+        for b in it:
+            if not b.num_rows:
+                continue
+            ids, views, ws, hs, fmts, seg_views = _batch_cols(
+                b, "image_id", "bytes", "w", "h", "fmt", "seg_bytes"
+            )
+            for k in range(b.num_rows):
+                h, w = int(hs[k]), int(ws[k])
+                img = codecs.decode_image(views[k], fmts[k], h, w).ravel().astype(np.int64)
+                lab = np.frombuffer(seg_views[k], dtype=np.int32, count=h * w).astype(np.int64)
                 key = lab * 256 + img
                 uniq, cnt = np.unique(key, return_counts=True)
-                outs.append(pd.DataFrame({
-                    "image_id": rec.image_id,
-                    "zone": (uniq // 256).astype(np.int32),
-                    "value": (uniq % 256).astype(np.int32),
-                    "cnt": cnt.astype(np.int64),
-                }))
-            yield pd.concat(outs) if outs else pd.DataFrame(columns=["image_id", "zone", "value", "cnt"])
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([ids[k]] * len(uniq), pa.string()),
+                        pa.array((uniq // 256).astype(np.int32), pa.int32()),
+                        pa.array((uniq % 256).astype(np.int32), pa.int32()),
+                        pa.array(cnt.astype(np.int64), pa.int64()),
+                    ],
+                    names=["image_id", "zone", "value", "cnt"],
+                )
 
-    return joined.mapInPandas(_hist, schema=schema)
+    return joined.mapInArrow(_hist, schema=schema)
 
 
 def segment_mode(images: DataFrame, segments: DataFrame) -> DataFrame:
@@ -195,36 +240,44 @@ def zonal_band_stats(
     )
     zindex_b = spark.sparkContext.broadcast(ZoneIndex.from_pandas(zones_pdf))
 
-    src = images.select("image_id", "bytes", "w", "h", "fmt", "minx", "miny")
+    src = images.select("bytes", "w", "h", "fmt", "minx", "miny")
 
-    def _partial(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _partial(it):
+        import pyarrow as pa
+
         zx: ZoneIndex = zindex_b.value
-        for pdf in it:
+        for b in it:
+            if not b.num_rows:
+                continue
+            views, ws, hs, fmts, minxs, minys = _batch_cols(
+                b, "bytes", "w", "h", "fmt", "minx", "miny"
+            )
             acc = {}
-            for rec in pdf.itertuples(index=False):
-                h, w = int(rec.h), int(rec.w)
-                maxy = rec.miny + h * pixel_size
-                maxx = rec.minx + w * pixel_size
+            for k in range(b.num_rows):
+                h, w = int(hs[k]), int(ws[k])
+                minx, miny = float(minxs[k]), float(minys[k])
+                maxy = miny + h * pixel_size
+                maxx = minx + w * pixel_size
                 qi, zi = zx.tree.query(
-                    np.array([[rec.minx, rec.miny, maxx, maxy]])
+                    np.array([[minx, miny, maxx, maxy]])
                 )
                 if len(zi) == 0:
                     continue
-                img = codecs.decode_image(rec.bytes, rec.fmt, h, w).astype(np.float64)
+                img = codecs.decode_image(views[k], fmts[k], h, w).astype(np.float64)
                 for z in zi:
                     rings = zx.rings[z]
                     zb = zx.bboxes[z]
                     # envelope → pixel window with the reference's rule
                     x1, y1, xs, ys, have = pixelmath.zonal_window(
                         [zb[0]], [zb[2]], [zb[1]], [zb[3]],
-                        rec.minx, maxy, pixel_size, pixel_size, w, h,
+                        minx, maxy, pixel_size, pixel_size, w, h,
                     )
                     if not have[0]:
                         continue
                     x1_, y1_, xs_, ys_ = int(x1[0]), int(y1[0]), int(xs[0]), int(ys[0])
                     sub = img[y1_ : y1_ + ys_, x1_ : x1_ + xs_]
                     # pixel centers of the window
-                    pcx = rec.minx + (np.arange(x1_, x1_ + xs_) + 0.5) * pixel_size
+                    pcx = minx + (np.arange(x1_, x1_ + xs_) + 0.5) * pixel_size
                     pcy = maxy - (np.arange(y1_, y1_ + ys_) + 0.5) * pixel_size
                     gx, gy = np.meshgrid(pcx, pcy)
                     mask = zx_points_in(rings, gx.ravel(), gy.ravel()).reshape(sub.shape)
@@ -250,16 +303,19 @@ def zonal_band_stats(
                         a[4] = max(a[4], stat[4])
             if acc:
                 zids = sorted(acc)
-                yield pd.DataFrame({
-                    "zone_id": np.array(zids, dtype=np.int64),
-                    "n": [acc[z][0] for z in zids],
-                    "s": [acc[z][1] for z in zids],
-                    "ss": [acc[z][2] for z in zids],
-                    "mn": [acc[z][3] for z in zids],
-                    "mx": [acc[z][4] for z in zids],
-                })
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.array(zids, dtype=np.int64), pa.int64()),
+                        pa.array([acc[z][0] for z in zids], pa.int64()),
+                        pa.array([acc[z][1] for z in zids], pa.float64()),
+                        pa.array([acc[z][2] for z in zids], pa.float64()),
+                        pa.array([acc[z][3] for z in zids], pa.float64()),
+                        pa.array([acc[z][4] for z in zids], pa.float64()),
+                    ],
+                    names=["zone_id", "n", "s", "ss", "mn", "mx"],
+                )
 
-    partials = src.mapInPandas(_partial, schema=_PARTIAL_SCHEMA)
+    partials = src.mapInArrow(_partial, schema=_PARTIAL_SCHEMA)
     return _finalize(partials)
 
 
@@ -398,32 +454,40 @@ def zonal_band_mode_median(
         max_rows=MAX_BROADCAST_ZONES,
     )
     zindex_b = spark.sparkContext.broadcast(ZoneIndex.from_pandas(zones_pdf))
-    src = images.select("image_id", "bytes", "w", "h", "fmt", "minx", "miny")
+    src = images.select("bytes", "w", "h", "fmt", "minx", "miny")
 
-    def _hist(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _hist(it):
+        import pyarrow as pa
+
         zx: ZoneIndex = zindex_b.value
-        for pdf in it:
+        for b in it:
+            if not b.num_rows:
+                continue
+            views, ws, hs, fmts, minxs, minys = _batch_cols(
+                b, "bytes", "w", "h", "fmt", "minx", "miny"
+            )
             acc: dict = {}
-            for rec in pdf.itertuples(index=False):
-                h, w = int(rec.h), int(rec.w)
-                maxy = rec.miny + h * pixel_size
-                maxx = rec.minx + w * pixel_size
-                qi, zi = zx.tree.query(np.array([[rec.minx, rec.miny, maxx, maxy]]))
+            for k in range(b.num_rows):
+                h, w = int(hs[k]), int(ws[k])
+                minx, miny = float(minxs[k]), float(minys[k])
+                maxy = miny + h * pixel_size
+                maxx = minx + w * pixel_size
+                qi, zi = zx.tree.query(np.array([[minx, miny, maxx, maxy]]))
                 if len(zi) == 0:
                     continue
-                img = codecs.decode_image(rec.bytes, rec.fmt, h, w)
+                img = codecs.decode_image(views[k], fmts[k], h, w)
                 for z in zi:
                     rings = zx.rings[z]
                     zb = zx.bboxes[z]
                     x1, y1, xs, ys, have = pixelmath.zonal_window(
                         [zb[0]], [zb[2]], [zb[1]], [zb[3]],
-                        rec.minx, maxy, pixel_size, pixel_size, w, h,
+                        minx, maxy, pixel_size, pixel_size, w, h,
                     )
                     if not have[0]:
                         continue
                     x1_, y1_, xs_, ys_ = int(x1[0]), int(y1[0]), int(xs[0]), int(ys[0])
                     sub = img[y1_ : y1_ + ys_, x1_ : x1_ + xs_]
-                    pcx = rec.minx + (np.arange(x1_, x1_ + xs_) + 0.5) * pixel_size
+                    pcx = minx + (np.arange(x1_, x1_ + xs_) + 0.5) * pixel_size
                     pcy = maxy - (np.arange(y1_, y1_ + ys_) + 0.5) * pixel_size
                     gx, gy = np.meshgrid(pcx, pcy)
                     mask = zx_points_in(rings, gx.ravel(), gy.ravel()).reshape(sub.shape)
@@ -436,13 +500,23 @@ def zonal_band_mode_median(
                     counts = np.bincount(vals, minlength=256)
                     prev = acc.get(zid)
                     acc[zid] = counts if prev is None else prev + counts
-            rows = []
+            if not acc:
+                continue
+            zids, values, cnts = [], [], []
             for zid, counts in acc.items():
                 nz = np.flatnonzero(counts)
-                for v in nz:
-                    rows.append((zid, int(v), int(counts[v])))
-            yield pd.DataFrame(rows, columns=["zone_id", "value", "cnt"])
+                zids.extend([zid] * len(nz))
+                values.extend(int(v) for v in nz)
+                cnts.extend(int(counts[v]) for v in nz)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(zids, pa.int64()),
+                    pa.array(values, pa.int32()),
+                    pa.array(cnts, pa.int64()),
+                ],
+                names=["zone_id", "value", "cnt"],
+            )
 
-    partial = src.mapInPandas(_hist, schema="zone_id long, value int, cnt long")
+    partial = src.mapInArrow(_hist, schema="zone_id long, value int, cnt long")
     hist = partial.groupBy("zone_id", "value").agg(F.sum("cnt").alias("cnt"))
     return mode_median_from_histogram(hist, ["zone_id"])
