@@ -254,6 +254,13 @@ def decode_dct(buf: bytes) -> np.ndarray:
     return out[0] if nch == 1 else np.stack(out, axis=2)
 
 
+def is_rsdc(buf) -> bool:
+    """True when the payload is an in-house RSDC lossy container — the
+    batch-decode grouping predicate (JFIF payloads routed through an
+    external backend must not enter ``decode_dct_batch``)."""
+    return bytes(buf[:6]) == _DCT_MAGIC
+
+
 def decode_dct_batch(bufs) -> list:
     """Decode MANY lossy payloads with one coefficient concatenation and
     one pair of flat GEMMs per quantization quality across every block
@@ -302,26 +309,174 @@ def decode_dct_batch(bufs) -> list:
     return outs
 
 
+# ----------------------------------------------- pluggable codec backends
+#
+# The in-house codecs above are the DEFAULT backend: deterministic,
+# oracle-gated, always present. Real-world payloads (JFIF JPEG, exotic
+# PNG variants) need a real codec library; the registry below probes
+# for PIL / imagecodecs at first use and routes per payload — the
+# operators are codec-agnostic, so deploying against real imagery is
+# one `pip install pillow` away (the reference reaches the same seam
+# through GDAL's driver registry: imageutils/__init__.py:609-640
+# get_gdal_format_from_ext / gdal format dispatch).
+
+_JFIF_MAGIC = b"\xff\xd8"
+
+
+class _PILBackend:
+    """Pillow-backed decode/encode for real containers (JFIF, any PNG)."""
+
+    name = "pillow"
+
+    def __init__(self):
+        from PIL import Image  # noqa: F401 — probe
+
+        self._Image = Image
+
+    def can_decode(self, fmt: str, buf) -> bool:
+        head = bytes(buf[:8])
+        return (fmt == "jpg" and head[:2] == _JFIF_MAGIC) or (
+            fmt == "png" and head == _PNG_SIG
+        )
+
+    def decode(self, buf, fmt: str) -> np.ndarray:
+        import io
+
+        img = self._Image.open(io.BytesIO(bytes(buf)))
+        if img.mode not in ("L", "RGB"):
+            img = img.convert("RGB" if len(img.getbands()) >= 3 else "L")
+        return np.asarray(img)
+
+    def can_encode(self, fmt: str) -> bool:
+        return fmt in ("jfif", "png")
+
+    def encode(self, arr: np.ndarray, fmt: str) -> bytes:
+        import io
+
+        out = io.BytesIO()
+        pil_fmt = {"jfif": "JPEG", "png": "PNG"}[fmt]
+        self._Image.fromarray(np.asarray(arr, dtype=np.uint8)).save(
+            out, format=pil_fmt, quality=90
+        )
+        return out.getvalue()
+
+
+class _ImagecodecsBackend:
+    """imagecodecs-backed decode/encode (JFIF + PNG, numpy-native)."""
+
+    name = "imagecodecs"
+
+    def __init__(self):
+        import imagecodecs
+
+        self._ic = imagecodecs
+
+    def can_decode(self, fmt: str, buf) -> bool:
+        head = bytes(buf[:8])
+        return (fmt == "jpg" and head[:2] == _JFIF_MAGIC) or (
+            fmt == "png" and head == _PNG_SIG
+        )
+
+    def decode(self, buf, fmt: str) -> np.ndarray:
+        if bytes(buf[:2]) == _JFIF_MAGIC:
+            return self._ic.jpeg8_decode(bytes(buf))
+        return self._ic.png_decode(bytes(buf))
+
+    def can_encode(self, fmt: str) -> bool:
+        return fmt in ("jfif", "png")
+
+    def encode(self, arr: np.ndarray, fmt: str) -> bytes:
+        a = np.asarray(arr, dtype=np.uint8)
+        if fmt == "jfif":
+            return self._ic.jpeg8_encode(a, level=90)
+        return self._ic.png_encode(a)
+
+
+#: Probed external backends, in preference order. ``None`` = not yet
+#: probed (lazy: the probe imports third-party modules). Tests may
+#: inject a fake backend by assigning a list here.
+_EXTERNAL_BACKENDS: list | None = None
+
+
+def external_backends() -> list:
+    """External codec backends available in this environment (probed
+    once). Empty in the sandbox (no PIL/imagecodecs); non-empty after
+    ``pip install pillow`` or ``pip install imagecodecs`` at deploy."""
+    global _EXTERNAL_BACKENDS
+    if _EXTERNAL_BACKENDS is None:
+        found = []
+        for cls in (_PILBackend, _ImagecodecsBackend):
+            try:
+                found.append(cls())
+            except Exception:
+                pass
+        _EXTERNAL_BACKENDS = found
+    return _EXTERNAL_BACKENDS
+
+
+def codec_capabilities() -> dict:
+    """Format-capability probe: fmt → backend that will serve it.
+
+    ``jpg`` decode is per-payload (container sniff): RSDC payloads
+    always use the in-house path; JFIF payloads need an external
+    backend. ``jfif`` encode exists only with an external backend."""
+    ext = external_backends()
+    ext_name = ext[0].name if ext else None
+    return {
+        "raw": "in-house",
+        "png": "in-house",
+        "jpg(rsdc)": "in-house",
+        "jpg(jfif)": ext_name,
+        "jfif_encode": ext_name,
+    }
+
+
 # --------------------------------------------------------------- dispatch
 
 
 def encode_image(arr: np.ndarray, fmt: str) -> bytes:
+    """Encode dispatch. In-house formats stay in-house (deterministic,
+    oracle-gated — external encoders are not byte-reproducible across
+    library versions); ``jfif`` requests a real JPEG via an external
+    backend and raises when none is installed."""
     if fmt == "raw":
         return encode_raw(arr)
     if fmt == "png":
         return encode_png(arr)
     if fmt == "jpg":
         return encode_dct(arr, quality=90)
-    raise ValueError(f"unknown fmt {fmt!r}")
+    for be in external_backends():
+        if be.can_encode(fmt):
+            return be.encode(arr, fmt)
+    raise ValueError(f"unknown fmt {fmt!r} (no external codec backend for it)")
 
 
 def decode_image(buf: bytes, fmt: str, h: int, w: int, bands: int = 1) -> np.ndarray:
+    """Decode dispatch, per PAYLOAD not just per fmt string: the
+    container magic decides the codec, so a table mixing RSDC and JFIF
+    payloads under fmt='jpg' (or in-house and exotic PNGs) routes each
+    row correctly."""
     if fmt == "raw":
         return decode_raw(buf, h, w, bands)
     if fmt == "png":
-        return decode_png(bytes(buf))
+        try:
+            return decode_png(bytes(buf))
+        except ValueError:
+            # non-8-bit / palette / interlaced variants → real backend
+            for be in external_backends():
+                if be.can_decode(fmt, buf):
+                    return be.decode(buf, fmt)
+            raise
     if fmt == "jpg":
-        return decode_dct(bytes(buf))
+        if bytes(buf[:6]) == _DCT_MAGIC:
+            return decode_dct(bytes(buf))
+        for be in external_backends():
+            if be.can_decode(fmt, buf):
+                return be.decode(buf, fmt)
+        raise ValueError(
+            "jpg payload is not RSDC and no external codec backend is "
+            "installed — `pip install pillow` (or imagecodecs) at deploy"
+        )
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

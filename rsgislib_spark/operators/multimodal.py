@@ -71,7 +71,10 @@ def image_features(images: DataFrame) -> DataFrame:
             # Lossy payloads batch through ONE pair of flat IDCT GEMMs
             # per Arrow batch (decode_dct_batch) instead of per-image
             # GEMM setup; raw/png decode stays per-image (no shared work).
-            jpg_idx = [k for k in range(b.num_rows) if fmts[k] == "jpg"]
+            jpg_idx = [
+                k for k in range(b.num_rows)
+                if fmts[k] == "jpg" and codecs.is_rsdc(views[k])
+            ]
             jpg_dec = (
                 dict(zip(jpg_idx, codecs.decode_dct_batch([views[k] for k in jpg_idx])))
                 if len(jpg_idx) > 1

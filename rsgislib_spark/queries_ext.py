@@ -2731,7 +2731,10 @@ def q60_image_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmts = cols["fmt"].to_pylist()
             phashes = cols["phash"].to_numpy(zero_copy_only=False)
             views = codecs.arrow_binary_views(cols["bytes"])
-            jpg_idx = [k for k in range(b.num_rows) if fmts[k] == "jpg"]
+            jpg_idx = [
+                k for k in range(b.num_rows)
+                if fmts[k] == "jpg" and codecs.is_rsdc(views[k])
+            ]
             jpg_dec = dict(
                 zip(jpg_idx, codecs.decode_dct_batch([views[k] for k in jpg_idx]))
             )
