@@ -152,3 +152,318 @@ def subtract_offsets_col(value, offset, dark_obj_refl=0.0, non_negative=True):
     if non_negative:
         return F.when(out <= 0, F.lit(1.0)).otherwise(out)
     return out
+
+
+# --------------------------------------------------------------------------
+# Remaining sensor DN→radiance family (RSGISStandardDN2RadianceCalibration
+# .cpp:99-185 formulas, re-derived from the published sensor handbooks).
+# --------------------------------------------------------------------------
+
+
+def ikonos_to_radiance_col(dn, cal_coef, bandwidth):
+    """L = 10⁵·DN / (calCoef·bandwidth) (ikonos handbook form,
+    RSGISIkonosRadianceCalibration)."""
+    from pyspark.sql import functions as F
+
+    return F.lit(100000.0) * _c(dn) / (_c(cal_coef) * _c(bandwidth))
+
+
+def aster_to_radiance_col(dn, unit_con_coef):
+    """L = (DN − 1)·unitConversionCoeff (ASTER handbook form,
+    RSGISASTERRadianceCalibration)."""
+    from pyspark.sql import functions as F
+
+    return (_c(dn) - F.lit(1.0)) * _c(unit_con_coef)
+
+
+def irs_to_radiance_col(dn, lmin, lmax, qcalmin, qcalmax):
+    """IRS header gradient form — same linear map as the Landsat
+    gradient but published per the IRS handbook
+    (RSGISIRSRadianceCalibration)."""
+    return dn_to_radiance_grad_col(dn, lmin, lmax, qcalmin, qcalmax)
+
+
+def quickbird16_to_radiance_col(dn, cal_factor, band_integrate):
+    """L = DN·calFactor / bandIntegrate (Quickbird 16-bit products,
+    RSGISQuickbird16bitRadianceCalibration)."""
+    return _c(dn) * _c(cal_factor) / _c(band_integrate)
+
+
+def quickbird8_to_radiance_col(dn, cal_factor, k, band_integrate):
+    """L = DN·calFactor·k / bandIntegrate (Quickbird 8-bit products with
+    the revision-dependent k factor, RSGISQuickbird8bitRadianceCalibration)."""
+    return _c(dn) * _c(cal_factor) * _c(k) / _c(band_integrate)
+
+
+def saturated_pixel_mask_col(dn, sat_val):
+    """1.0 where DN equals the band saturation value else 0.0
+    (saturated_pixels_mask / RSGISIdentifySaturatePixels)."""
+    from pyspark.sql import functions as F
+
+    return F.when(_c(dn) == _c(sat_val), F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def subtract_single_offsets_col(
+    value,
+    offset,
+    dark_obj_refl=0.0,
+    non_negative=True,
+    no_data_val=None,
+):
+    """Dark-object subtraction with per-band FIXED offsets and the
+    reference's no-data passthrough: input == noData → output = noData,
+    else (v − offset) + darkObjRefl with the ≤0→1 snap
+    (apply_subtract_single_offsets, RSGISApplySubtractOffsets.cpp:98-135)."""
+    from pyspark.sql import functions as F
+
+    v = _c(value)
+    out = v - _c(offset) + _c(dark_obj_refl)
+    if non_negative:
+        out = F.when(out <= 0, F.lit(1.0)).otherwise(out)
+    if no_data_val is not None:
+        nd = _c(no_data_val)
+        out = F.when(v == nd, nd).otherwise(out)
+    return out
+
+
+# --------------------------------------------------------------------------
+# 6S LUT family — elevation-interpolated and elevation×AOT surface
+# reflectance, solar irradiance (Shepherd & Dymond 2010 Eq 1) and
+# standardised reflectance (Eq 8). LUTs arrive as python lists of knots
+# and unroll into pure Catalyst expressions (literal arrays + when
+# chains), so the maps stay inside whole-stage codegen like every other
+# transform in this module.
+# --------------------------------------------------------------------------
+
+
+def _lut_nearest_idx(val, knots):
+    """0-based index of the knot nearest to ``val`` (squared distance,
+    first-wins on ties — the reference scans with strict '<':
+    RSGISApply6SCoefficients.cpp:186-201)."""
+    from pyspark.sql import functions as F
+
+    v = _c(val)
+    best_i = F.lit(0)
+    best_d = (v - F.lit(float(knots[0]))) * (v - F.lit(float(knots[0])))
+    for i in range(1, len(knots)):
+        d = (v - F.lit(float(knots[i]))) * (v - F.lit(float(knots[i])))
+        cond = d < best_d
+        best_i = F.when(cond, F.lit(i)).otherwise(best_i)
+        best_d = F.when(cond, d).otherwise(best_d)
+    return best_i
+
+
+def _pick(cols, idx):
+    """cols[idx] as a Catalyst expression (1-based element_at over a
+    literal/expression array)."""
+    from pyspark.sql import functions as F
+
+    return F.element_at(F.array(*[_c(c) for c in cols]), idx + F.lit(1))
+
+
+def _sref_6s(refl, a_x, b_x, c_x, scale):
+    from pyspark.sql import functions as F
+
+    y = _c(a_x) * _c(refl) - _c(b_x)
+    return y / (F.lit(1.0) + _c(c_x) * y) * _c(scale)
+
+
+def apply_6s_coeff_elev_lut_col(refl, elev, lut, scale_factor=1000.0):
+    """Elevation-interpolated 6S surface reflectance for one band
+    (apply_6s_coeff_elev_lut_param; RSGISApply6SCoefficientsElevLUTParam
+    ::calcImageValue, RSGISApply6SCoefficients.cpp:142-290).
+
+    ``lut`` = [(elev_m, aX, bX, cX), ...] in elevation order. Faithful
+    replication of the reference's scheme: nearest knot by squared
+    distance, second knot = the neighbour toward the pixel elevation
+    (clamped at the ends), reflectance computed at BOTH knots and
+    blended with proportions 1−|Δe|/|e₁−e₂| — which extrapolates (sums
+    ≠ 1) outside the knot range exactly like the C++ — then the upper
+    clamp at scale_factor. (The noData==0 '+1 shift' branch is the
+    useNoDataVal path; expose via subtract/when at the call site if a
+    pipeline needs it.)"""
+    from pyspark.sql import functions as F
+
+    knots = [float(e) for e, *_ in lut]
+    if len(lut) == 1:
+        _, ax, bx, cx = lut[0]
+        sref = _sref_6s(refl, ax, bx, cx, scale_factor)
+        return F.least(_c(scale_factor), sref)
+    e = _c(elev)
+    i1 = _lut_nearest_idx(elev, knots)
+    e1 = _pick(knots, i1)
+    last = len(knots) - 1
+    i2 = (
+        F.when(i1 == F.lit(0), F.lit(1))
+        .when(i1 == F.lit(last), F.lit(last - 1))
+        .otherwise(F.when(e - e1 < 0, i1 - F.lit(1)).otherwise(i1 + F.lit(1)))
+    )
+    e2 = _pick(knots, i2)
+    diff = F.abs(e1 - e2)
+    prop1 = F.lit(1.0) - F.abs(e - e1) / diff
+    prop2 = F.lit(1.0) - F.abs(e - e2) / diff
+    srefs = [_sref_6s(refl, ax, bx, cx, scale_factor) for _, ax, bx, cx in lut]
+    blended = _pick(srefs, i1) * prop1 + _pick(srefs, i2) * prop2
+    return F.least(_c(scale_factor), blended)
+
+
+def apply_6s_coeff_elev_aot_lut_col(refl, elev, aot, lut, scale_factor=1000.0):
+    """Elevation×AOT 6S surface reflectance for one band
+    (apply_6s_coeff_elev_aot_lut_param;
+    RSGISApply6SCoefficientsElevAOTLUTParam::calcImageValue,
+    RSGISApply6SCoefficients.cpp:310-440). ``lut`` =
+    [(elev, [(aot, aX, bX, cX), ...]), ...]. NEAREST elevation knot,
+    then NEAREST AOT knot within it (no interpolation — faithful), then
+    the 6S map with the upper clamp."""
+    from pyspark.sql import functions as F
+
+    eknots = [float(e) for e, _ in lut]
+    iel = _lut_nearest_idx(elev, eknots)
+    per_elev = []
+    for _, aot_lut in lut:
+        aknots = [float(a) for a, *_ in aot_lut]
+        ia = _lut_nearest_idx(aot, aknots)
+        srefs = [_sref_6s(refl, ax, bx, cx, scale_factor) for _, ax, bx, cx in aot_lut]
+        per_elev.append(_pick(srefs, ia))
+    out = _pick(per_elev, iel)
+    return F.least(_c(scale_factor), out)
+
+
+def irradiance_elev_lut_cols(
+    elev,
+    inc_angle_deg,
+    slope_deg,
+    shadow,
+    lut,
+    solar_zenith_deg,
+    mean_sref,
+):
+    """Incoming irradiance for sloped surfaces, one band — Shepherd &
+    Dymond (2010) Eq 1 (calc_irradiance_img_elev_lut;
+    RSGISCalcSolarIrradianceElevLUTParam::calcImageValue,
+    RSGISApply6SCoefficients.cpp:545-700). ``lut`` =
+    [(elev_m, dirIrr, difIrr, envIrr), ...]; returns the 4-tuple of
+    Columns (direct, diffuse, environment, total):
+
+      direct = shadowMask · dirIrr(e) · cos(i)/cos(θs)
+      diffuse = difIrr(e) · (1+cos s)/2
+      env = (dirIrr+difIrr+envIrr)(e) · (1−cos s)/2 · meanSREF
+      total = direct + diffuse + env
+
+    with the same two-knot elevation blend as the 6S elev LUT."""
+    from pyspark.sql import functions as F
+
+    knots = [float(e) for e, *_ in lut]
+    shad = F.when(_c(shadow) == 1, F.lit(0.0)).otherwise(F.lit(1.0))
+    inc_ratio = F.cos(F.radians(_c(inc_angle_deg))) / F.cos(
+        F.radians(_c(solar_zenith_deg))
+    )
+    slope_rad = F.radians(_c(slope_deg))
+    v_d = (F.lit(1.0) + F.cos(slope_rad)) / F.lit(2.0)
+    v_t = (F.lit(1.0) - F.cos(slope_rad)) / F.lit(2.0)
+
+    def blend(vals):
+        if len(knots) == 1:
+            return _c(float(vals[0]))
+        e = _c(elev)
+        i1 = _lut_nearest_idx(elev, knots)
+        e1 = _pick(knots, i1)
+        last = len(knots) - 1
+        i2 = (
+            F.when(i1 == F.lit(0), F.lit(1))
+            .when(i1 == F.lit(last), F.lit(last - 1))
+            .otherwise(F.when(e - e1 < 0, i1 - F.lit(1)).otherwise(i1 + F.lit(1)))
+        )
+        e2 = _pick(knots, i2)
+        diff = F.abs(e1 - e2)
+        prop1 = F.lit(1.0) - F.abs(e - e1) / diff
+        prop2 = F.lit(1.0) - F.abs(e - e2) / diff
+        arr = [float(v) for v in vals]
+        return _pick(arr, i1) * prop1 + _pick(arr, i2) * prop2
+
+    dir_irr = shad * inc_ratio * blend([d for _, d, _, _ in lut])
+    dif_irr = v_d * blend([d for _, _, d, _ in lut])
+    tot_in = blend([a + b + c for _, a, b, c in lut])
+    env_irr = tot_in * v_t * _c(mean_sref)
+    return dir_irr, dif_irr, env_irr, dir_irr + dif_irr + env_irr
+
+
+def standardised_reflectance_sd2010_col(
+    sref,
+    dir_irr,
+    dif_irr,
+    tot_irr,
+    inc_angle_deg,
+    exit_angle_deg,
+    brdf_beta=1.0,
+    out_inc_angle_deg=0.0,
+    out_exit_angle_deg=0.0,
+    scale_factor=1000.0,
+):
+    """Standardised reflectance wrt solar/view angles — Shepherd &
+    Dymond (2010) Eq 8 (calc_standardised_reflectance_sd2010;
+    RSGISCalcStandardisedReflectanceSD2010::calcImageValue,
+    RSGISApply6SCoefficients.cpp:728-800):
+
+      γ = (cos i + cos e) / (cos i₀ + cos e₀)
+      L = (SREF/scale)·totalIrr
+      out = scale · L / (dirIrr·γ + difIrr·β)
+
+    with the reference's percentage floor: scale > 99 → out < 1 snaps
+    to 1."""
+    from pyspark.sql import functions as F
+
+    gamma = (
+        F.cos(F.radians(_c(inc_angle_deg))) + F.cos(F.radians(_c(exit_angle_deg)))
+    ) / (
+        F.cos(F.radians(_c(out_inc_angle_deg)))
+        + F.cos(F.radians(_c(out_exit_angle_deg)))
+    )
+    L = (_c(sref) / _c(scale_factor)) * _c(tot_irr)
+    out = L / (_c(dir_irr) * gamma + _c(dif_irr) * _c(brdf_beta)) * _c(scale_factor)
+    # the percentage floor is a build-time rule on the numeric scale
+    # (the reference reads it off its float member the same way)
+    if float(scale_factor) > 99:
+        out = F.when(out < 1, F.lit(1.0)).otherwise(out)
+    return out
+
+
+def nadir_view_angle_col(px, py, cl_slope, cl_off, altitude):
+    """Per-pixel nadir-sensor view angle (calc_nadir_img_view_angle;
+    RSGISCalcNadirViewAngle::calcImageValue,
+    RSGISImgCalibUtils.cpp:85-115): drop a perpendicular from the pixel
+    centre (px, py) to the scene centre line y = slope·x + off, then
+    90° − atan(altitude / dist)·180/π (sensor point of view)."""
+    from pyspark.sql import functions as F
+
+    x, y = _c(px), _c(py)
+    m, b = _c(cl_slope), _c(cl_off)
+    orth_m = F.lit(-1.0) / m
+    orth_b = y - orth_m * x
+    ix = (orth_b - b) / (m - orth_m)
+    iy = ix * m + b
+    dist = F.sqrt((ix - x) * (ix - x) + (iy - y) * (iy - y))
+    return F.lit(90.0) - F.atan(_c(altitude) / dist) * F.lit(180.0 / np.pi)
+
+
+def esun_from_known_col(radiance, toa_refl, solar_dist, cos_sza):
+    """ESUN back-solved from a known (radiance, TOA reflectance) pair:
+    ESUN = π·L·d² / ρ / cosθs (get_esun_value,
+    python/rsgislib/imagecalibration/__init__.py:391-414)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    return (
+        F.lit(math.pi) * _c(radiance) * _c(solar_dist) * _c(solar_dist)
+        / _c(toa_refl)
+        / _c(cos_sza)
+    )
+
+
+def visibility_to_aot_col(vis):
+    """AOT ≈ 3.9449/visibility + 0.08498 (visibility_to_aot,
+    imagecalibration/__init__.py:417-427)."""
+    from pyspark.sql import functions as F
+
+    return F.lit(3.9449) / _c(vis) + F.lit(0.08498)

@@ -3640,6 +3640,246 @@ FROM base3
 """
 
 
+# --------------------------------------------------------------------------
+# q128 — the REST of the calibration family (VERDICT r4 task 2): the
+# remaining sensor DN→radiance maps (Ikonos/ASTER/IRS/Quickbird 16/8),
+# saturation mask, single-offset DOS, 6S elevation-LUT (interpolated)
+# and elevation×AOT-LUT SREF, Shepherd-Dymond 2010 irradiance (Eq 1)
+# and standardised reflectance (Eq 8), nadir view angle, ESUN
+# back-solve, visibility→AOT. Every transform is a pure Catalyst column
+# map (kernels/calibration.py) over an integer-derived coefficient
+# lattice, hash-gated against a DuckDB oracle that replicates the LUT
+# nearest/neighbour/blend scheme relationally.
+# --------------------------------------------------------------------------
+
+#: 6S elevation LUT: (elev_m, aX, bX, cX) — elevation order.
+CAL128_ELEV_LUT = [
+    (0.0, 0.92, 0.05, 0.0015),
+    (1000.0, 0.95, 0.04, 0.0012),
+    (2000.0, 0.98, 0.03, 0.0010),
+]
+#: 6S elevation×AOT LUT: (elev_m, [(aot, aX, bX, cX), ...]).
+CAL128_AOT_LUT = [
+    (0.0, [(0.0, 0.90, 0.06, 0.0016), (0.4, 0.93, 0.05, 0.0013)]),
+    (1000.0, [(0.0, 0.94, 0.045, 0.0011), (0.4, 0.97, 0.035, 0.0009)]),
+]
+#: Irradiance LUT: (elev_m, dirIrr, difIrr, envIrr) — same knots as
+#: CAL128_ELEV_LUT so the oracle reuses one blend derivation.
+CAL128_IRR_LUT = [
+    (0.0, 1300.0, 300.0, 60.0),
+    (1000.0, 1400.0, 260.0, 50.0),
+    (2000.0, 1500.0, 220.0, 40.0),
+]
+
+# Derivation CTE — PORTABLE SQL text run verbatim in BOTH engines (the
+# q119/qcommon parity trick), so every derived input is bit-identical
+# before any transform applies.
+_CAL128_BASE_SQL = f"""
+WITH dnv AS (SELECT DISTINCT p_partkey % 256 AS dn FROM part),
+base AS (
+  SELECT dn,
+         CAST((dn * 37) % 2100 AS DOUBLE) AS elev,
+         CAST(dn % 5 AS DOUBLE) / 10.0 AS aot,
+         CAST(dn % 60 + 5 AS DOUBLE) AS inc_ang,
+         CAST(dn % 25 AS DOUBLE) AS exit_ang,
+         CAST(dn % 30 AS DOUBLE) AS slope,
+         CAST(CASE WHEN dn % 7 = 0 THEN 1 ELSE 0 END AS INT) AS shadow,
+         CAST(dn * 10 AS DOUBLE) AS px_c,
+         CAST(dn * 3 AS DOUBLE) AS py_c,
+         CAST(5 + dn % 40 AS DOUBLE) AS vis,
+         1.17662 * dn + -6.2 AS l_ma
+  FROM dnv
+)
+SELECT *, PI() * l_ma * {_CAL_D} * {_CAL_D} / (1536.0 * {_CAL119_CZ}) * 1.0 AS rho
+FROM base
+"""
+
+
+def q128_calibration_family_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining calibration transforms as Catalyst column maps — see
+    the block comment above. Reference bindings:
+    imagecalibration.cpp:1726-1954; impls
+    RSGISStandardDN2RadianceCalibration.cpp:99-210,
+    RSGISApply6SCoefficients.cpp:142-800, RSGISApplySubtractOffsets.cpp
+    :98-135, RSGISImgCalibUtils.cpp:28-115."""
+    from rsgislib_spark.kernels import calibration as CAL
+
+    load_views(spark, sf_dir)
+    df = spark.sql(_CAL128_BASE_SQL)
+    d = float(CAL.solar_distance(166))
+    cz = float(np.cos(np.radians(35.0)))
+    dn = F.col("dn")
+    r6 = lambda col, name: F.round(col, 6).alias(name)
+    sref_elev = CAL.apply_6s_coeff_elev_lut_col(
+        F.col("rho"), F.col("elev"), CAL128_ELEV_LUT, 1000.0
+    )
+    dirc, difc, envc, totc = CAL.irradiance_elev_lut_cols(
+        F.col("elev"), F.col("inc_ang"), F.col("slope"), F.col("shadow"),
+        CAL128_IRR_LUT, 35.0, 0.2,
+    )
+    return df.select(
+        "dn",
+        r6(CAL.ikonos_to_radiance_col(dn, 728.0, 0.0713), "l_ikonos"),
+        r6(CAL.aster_to_radiance_col(dn, 0.676), "l_aster"),
+        r6(CAL.irs_to_radiance_col(dn, 0.0, 152.0, 1.0, 255.0), "l_irs"),
+        r6(CAL.quickbird16_to_radiance_col(dn, 0.01604, 0.0713), "l_qb16"),
+        r6(CAL.quickbird8_to_radiance_col(dn, 0.01604, 1.02, 0.0713), "l_qb8"),
+        r6(CAL.saturated_pixel_mask_col(dn, 255), "sat_mask"),
+        r6(CAL.subtract_single_offsets_col(dn, 12.0, 0.02, no_data_val=0.0), "dos_single"),
+        r6(sref_elev, "sref_elev"),
+        r6(CAL.apply_6s_coeff_elev_aot_lut_col(
+            F.col("rho"), F.col("elev"), F.col("aot"), CAL128_AOT_LUT, 1000.0
+        ), "sref_elev_aot"),
+        r6(dirc, "irr_dir"),
+        r6(difc, "irr_dif"),
+        r6(envc, "irr_env"),
+        r6(totc, "irr_tot"),
+        r6(CAL.standardised_reflectance_sd2010_col(
+            sref_elev, dirc, difc, totc, F.col("inc_ang"), F.col("exit_ang"),
+        ), "std_refl"),
+        r6(CAL.nadir_view_angle_col(
+            F.col("px_c"), F.col("py_c"), 0.75, 1234.5, 705000.0
+        ), "view_ang"),
+        r6(CAL.esun_from_known_col(F.col("l_ma"), F.col("rho"), d, cz), "esun_chk"),
+        r6(CAL.visibility_to_aot_col(F.col("vis")), "aot_est"),
+    )
+
+
+def _sql_sref_6s(a, b, c, refl="rho", scale="1000.0"):
+    y = f"({a} * {refl} - {b})"
+    return f"{y} / (1.0 + {c} * {y}) * {scale}"
+
+
+def _sql_nearest3(v, k0, k1, k2):
+    """0-based nearest-knot index, iterative-min first-wins semantics
+    (mirrors calibration._lut_nearest_idx exactly)."""
+    d0 = f"(({v} - {k0}) * ({v} - {k0}))"
+    d1 = f"(({v} - {k1}) * ({v} - {k1}))"
+    d2 = f"(({v} - {k2}) * ({v} - {k2}))"
+    return (
+        f"CASE WHEN {d1} < {d0} THEN (CASE WHEN {d2} < {d1} THEN 2 ELSE 1 END) "
+        f"ELSE (CASE WHEN {d2} < {d0} THEN 2 ELSE 0 END) END"
+    )
+
+
+def _sql_nearest2(v, k0, k1):
+    return (
+        f"CASE WHEN (({v} - {k1}) * ({v} - {k1})) < (({v} - {k0}) * ({v} - {k0})) "
+        f"THEN 1 ELSE 0 END"
+    )
+
+
+def _build_oracle_q128() -> str:
+    e = CAL128_ELEV_LUT
+    knots = [k for k, *_ in e]
+    srefs = [_sql_sref_6s(a, b, c) for _, a, b, c in e]
+    dirs = [d for _, d, _, _ in CAL128_IRR_LUT]
+    difs = [d for _, _, d, _ in CAL128_IRR_LUT]
+    tots = [a + b + c for _, a, b, c in CAL128_IRR_LUT]
+    pick3 = lambda col, vals: (
+        f"CASE WHEN {col} = 0 THEN {vals[0]} WHEN {col} = 1 THEN {vals[1]} "
+        f"ELSE {vals[2]} END"
+    )
+    # elev×AOT nested nearest (2×2)
+    al = CAL128_AOT_LUT
+    ia = _sql_nearest2("elev", al[0][0], al[1][0])
+    ja = _sql_nearest2("aot", al[0][1][0][0], al[0][1][1][0])
+    s = {
+        (i, j): _sql_sref_6s(*al[i][1][j][1:4])
+        for i in range(2)
+        for j in range(2)
+    }
+    sref_aot = (
+        f"LEAST(1000.0, CASE WHEN iel2 = 0 THEN "
+        f"(CASE WHEN ia2 = 0 THEN {s[(0,0)]} ELSE {s[(0,1)]} END) ELSE "
+        f"(CASE WHEN ia2 = 0 THEN {s[(1,0)]} ELSE {s[(1,1)]} END) END)"
+    )
+    return f"""
+WITH b2 AS ({_CAL128_BASE_SQL.strip()}),
+idx AS (
+  SELECT *,
+         {_sql_nearest3("elev", *knots)} AS i1,
+         {ia} AS iel2,
+         {ja} AS ia2
+  FROM b2
+),
+idx2 AS (
+  SELECT *,
+         {pick3("i1", knots)} AS e1,
+         CASE WHEN i1 = 0 THEN 1 WHEN i1 = 2 THEN 1
+              ELSE (CASE WHEN elev - {pick3("i1", knots)} < 0 THEN 0 ELSE 2 END)
+         END AS i2
+  FROM idx
+),
+prop AS (
+  SELECT *,
+         {pick3("i2", knots)} AS e2,
+         1.0 - ABS(elev - e1) / ABS(e1 - {pick3("i2", knots)}) AS prop1,
+         1.0 - ABS(elev - {pick3("i2", knots)}) / ABS(e1 - {pick3("i2", knots)}) AS prop2
+  FROM idx2
+),
+sref AS (
+  SELECT *,
+         LEAST(1000.0, {pick3("i1", srefs)} * prop1 + {pick3("i2", srefs)} * prop2) AS sref_elev_u,
+         (CASE WHEN shadow = 1 THEN 0.0 ELSE 1.0 END)
+           * (COS(RADIANS(inc_ang)) / COS(RADIANS(35.0)))
+           * ({pick3("i1", dirs)} * prop1 + {pick3("i2", dirs)} * prop2) AS irr_dir_u,
+         ((1.0 + COS(RADIANS(slope))) / 2.0)
+           * ({pick3("i1", difs)} * prop1 + {pick3("i2", difs)} * prop2) AS irr_dif_u,
+         ({pick3("i1", tots)} * prop1 + {pick3("i2", tots)} * prop2)
+           * ((1.0 - COS(RADIANS(slope))) / 2.0) * 0.2 AS irr_env_u
+  FROM prop
+),
+irr AS (
+  SELECT *, irr_dir_u + irr_dif_u + irr_env_u AS irr_tot_u FROM sref
+),
+std AS (
+  SELECT *,
+         sref_elev_u / 1000.0 * irr_tot_u
+           / (irr_dir_u * ((COS(RADIANS(inc_ang)) + COS(RADIANS(exit_ang)))
+                           / (COS(RADIANS(0.0)) + COS(RADIANS(0.0))))
+              + irr_dif_u * 1.0) * 1000.0 AS std_refl_u,
+         py_c - (-1.0 / 0.75) * px_c AS orth_b
+  FROM irr
+),
+na AS (
+  SELECT *,
+         (orth_b - 1234.5) / (0.75 - (-1.0 / 0.75)) AS ix
+  FROM std
+),
+na2 AS (
+  SELECT *,
+         SQRT((ix - px_c) * (ix - px_c)
+              + ((ix * 0.75 + 1234.5) - py_c) * ((ix * 0.75 + 1234.5) - py_c)) AS ndist
+  FROM na
+)
+SELECT dn,
+       ROUND(100000.0 * dn / (728.0 * 0.0713), 6) AS l_ikonos,
+       ROUND((dn - 1.0) * 0.676, 6) AS l_aster,
+       ROUND((152.0 - 0.0) / (255.0 - 1.0) * (dn - 1.0) + 0.0, 6) AS l_irs,
+       ROUND(dn * 0.01604 / 0.0713, 6) AS l_qb16,
+       ROUND(dn * 0.01604 * 1.02 / 0.0713, 6) AS l_qb8,
+       ROUND(CASE WHEN dn = 255.0 THEN 1.0 ELSE 0.0 END, 6) AS sat_mask,
+       ROUND(CASE WHEN dn = 0.0 THEN 0.0
+                  WHEN dn - 12.0 + 0.02 <= 0 THEN 1.0
+                  ELSE dn - 12.0 + 0.02 END, 6) AS dos_single,
+       ROUND(sref_elev_u, 6) AS sref_elev,
+       ROUND({sref_aot}, 6) AS sref_elev_aot,
+       ROUND(irr_dir_u, 6) AS irr_dir,
+       ROUND(irr_dif_u, 6) AS irr_dif,
+       ROUND(irr_env_u, 6) AS irr_env,
+       ROUND(irr_tot_u, 6) AS irr_tot,
+       ROUND(CASE WHEN std_refl_u < 1 THEN 1.0 ELSE std_refl_u END, 6) AS std_refl,
+       ROUND(90.0 - ATAN(705000.0 / ndist) * (180.0 / PI()), 6) AS view_ang,
+       ROUND(PI() * l_ma * {_CAL_D} * {_CAL_D} / rho / {_CAL119_CZ}, 6) AS esun_chk,
+       ROUND(3.9449 / vis + 0.08498, 6) AS aot_est
+FROM na2
+"""
+
+
+ORACLE_Q128 = _build_oracle_q128()
+
+
 def q68_distance_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance-to-target-pixels (calc_dist_to_img_vals,
     imagecalc/__init__.py:136-236): exact chessboard distance transform
@@ -4983,6 +5223,7 @@ QUERIES_EXT = {
     "q66_band_registration": q66_band_registration,
     "q67_calibration": q67_calibration,
     "q119_calibration_transforms": q119_calibration_transforms,
+    "q128_calibration_family_ext": q128_calibration_family_ext,
     "q56_resample_nearest": q56_resample_nearest,
     "q57_overlay_intersection": q57_overlay_intersection,
     "q58_pixel_band_summary": q58_pixel_band_summary,
@@ -5148,6 +5389,7 @@ ORACLES_EXT = {
     "q66_band_registration": ORACLE_Q66,
     "q67_calibration": ORACLE_Q67,
     "q119_calibration_transforms": ORACLE_Q119,
+    "q128_calibration_family_ext": ORACLE_Q128,
     "q56_resample_nearest": ORACLE_Q56,
     "q57_overlay_intersection": ORACLE_Q57,
     "q58_pixel_band_summary": ORACLE_Q58,

@@ -102,3 +102,97 @@ def test_calibration_col_builders(spark):
     # dn=0: negative radiance -> thermal guard 0; dos snaps to 1.0; sref clamps 0
     r0 = out.loc[0]
     assert r0.bt == 0.0 and r0.dos == 1.0 and r0.sref == 0.0
+
+
+def test_elev_lut_blend_matches_cpp_replay(spark):
+    """apply_6s_coeff_elev_lut_col replicates the reference's scheme
+    (RSGISApply6SCoefficients.cpp:142-290) — nearest knot by squared
+    distance, neighbour toward the pixel elevation (end-clamped),
+    reflectance blended with 1-|de|/|e1-e2| proportions (which
+    EXTRAPOLATES outside the knot range, like the C++) — checked
+    against a literal python replay at off-lattice elevations."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rsgislib_spark.kernels import calibration as CAL
+
+    lut = [(0.0, 0.92, 0.05, 0.0015), (1000.0, 0.95, 0.04, 0.0012),
+           (2000.0, 0.98, 0.03, 0.0010)]
+
+    def replay(rho, elev, scale=1000.0):
+        knots = [e for e, *_ in lut]
+        d = [(k - elev) ** 2 for k in knots]
+        i1 = min(range(3), key=lambda i: (d[i], i))
+        if i1 == 0:
+            i2 = 1
+        elif i1 == 2:
+            i2 = 1
+        else:
+            i2 = i1 - 1 if elev - knots[i1] < 0 else i1 + 1
+
+        def sref(i):
+            _, a, b, c = lut[i]
+            y = a * rho - b
+            return y / (1.0 + c * y) * scale
+
+        diff = abs(knots[i1] - knots[i2])
+        p1 = 1 - abs(elev - knots[i1]) / diff
+        p2 = 1 - abs(elev - knots[i2]) / diff
+        return min(scale, sref(i1) * p1 + sref(i2) * p2)
+
+    rows = [(0.12, -250.0), (0.2, 0.0), (0.3, 499.0), (0.3, 500.0),
+            (0.4, 501.0), (0.5, 1000.0), (0.6, 1499.0), (0.7, 1750.0),
+            (0.8, 2000.0), (0.9, 2600.0)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["rho", "elev"]))
+    out = (
+        df.withColumn(
+            "sref",
+            CAL.apply_6s_coeff_elev_lut_col(F.col("rho"), F.col("elev"), lut),
+        )
+        .orderBy("elev", "rho")
+        .collect()
+    )
+    for r in out:
+        assert abs(r.sref - replay(r.rho, r.elev)) < 1e-9, (r.rho, r.elev)
+
+
+def test_elev_aot_lut_nearest_nearest(spark):
+    """apply_6s_coeff_elev_aot_lut_col: NEAREST elevation then NEAREST
+    AOT, no interpolation (RSGISApply6SCoefficients.cpp:310-440)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from rsgislib_spark.kernels import calibration as CAL
+
+    lut = [(0.0, [(0.0, 0.90, 0.06, 0.0016), (0.4, 0.93, 0.05, 0.0013)]),
+           (1000.0, [(0.0, 0.94, 0.045, 0.0011), (0.4, 0.97, 0.035, 0.0009)])]
+
+    def sref(a, b, c, rho, scale=1000.0):
+        y = a * rho - b
+        return min(scale, y / (1.0 + c * y) * scale)
+
+    # (rho, elev, aot) → expected knot choice
+    cases = [
+        (0.3, 100.0, 0.05, (0, 0)),
+        (0.3, 100.0, 0.39, (0, 1)),
+        (0.3, 900.0, 0.0, (1, 0)),
+        (0.3, 2000.0, 0.4, (1, 1)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame([c[:3] for c in cases], columns=["rho", "elev", "aot"])
+    )
+    out = (
+        df.withColumn(
+            "sref",
+            CAL.apply_6s_coeff_elev_aot_lut_col(
+                F.col("rho"), F.col("elev"), F.col("aot"), lut
+            ),
+        )
+        .orderBy("elev", "aot")
+        .collect()
+    )
+    by_key = {(round(r.elev, 3), round(r.aot, 3)): r.sref for r in out}
+    for rho, elev, aot, (ie, ja) in cases:
+        _, a, b, c = lut[ie][1][ja]
+        assert abs(by_key[(round(elev, 3), round(aot, 3))] - sref(a, b, c, rho)) < 1e-9
