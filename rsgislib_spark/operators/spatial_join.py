@@ -173,15 +173,29 @@ def spatial_join_cells(
     join_op: str = "intersects",
     res: int = DEFAULT_RES,
     id_col: str = "image_id",
+    join_how: str = "inner",
 ) -> DataFrame:
-    """Cell equi-join + exact refine (inner only) — both sides large.
+    """Cell equi-join + exact refine — both sides large. Returns the
+    PAIR LIST (id_col, zone_id); callers attach payloads/attrs by
+    equi-join afterwards (no broadcast — the point of this path).
 
     images exploded to covering cells; zones exploded to covering cells
     (driver-side, zone count small — if zones were huge this explode runs
     as a DataFrame op too); equi-join on cell; exact predicate refine in a
     vectorized kernel; duplicate pairs (image spanning k cells) removed
     with ``dropDuplicates`` BEFORE attaching payloads.
+
+    ``join_how`` mirrors the reference's full inner/left/right surface
+    (vectorutils/__init__.py:2159-2225) on this path too: ``left``
+    preserves unmatched images (null zone_id) via an anti-join of the
+    image ids against the refined pairs — one extra shuffle on the
+    16-byte id key, no broadcast; ``right`` preserves unmatched zones
+    (null id) symmetrically. A huge×huge LEFT spatial join is a real
+    shape at 100 TB (every image row must survive into the tiling
+    stage whether or not a zone claims it).
     """
+    if join_how not in JOIN_HOWS:
+        raise ValueError(f"join_how must be one of {JOIN_HOWS}")
     spark = images.sparkSession
     img_cells = explode_footprint_cells(images, res=res, id_col=id_col)
 
@@ -230,7 +244,25 @@ def spatial_join_cells(
             out = pdf.loc[keep, [id_col, "zone_id"]]
             yield out
 
-    return cand.mapInPandas(_refine, schema=schema)
+    pairs = cand.mapInPandas(_refine, schema=schema)
+    if join_how == "inner":
+        return pairs
+    id_type = dict(images.dtypes)[id_col]
+    if join_how == "left":
+        unmatched = (
+            images.select(id_col)
+            .join(pairs.select(id_col), id_col, "left_anti")
+            .withColumn("zone_id", F.lit(None).cast("long"))
+        )
+        return pairs.unionByName(unmatched)
+    # right: every zone at least once
+    unmatched_z = (
+        zones.select("zone_id")
+        .join(pairs.select("zone_id"), "zone_id", "left_anti")
+        .withColumn(id_col, F.lit(None).cast(id_type))
+        .select(id_col, "zone_id")
+    )
+    return pairs.unionByName(unmatched_z)
 
 
 def spatial_select(

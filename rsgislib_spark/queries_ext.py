@@ -4879,6 +4879,32 @@ ON i.minx <= z.maxx AND i.maxx >= z.minx AND i.miny <= z.maxy AND i.maxy >= z.mi
 """)
 
 
+def q129_spatial_join_cells_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT how on the huge×huge CELLS spatial-join path (VERDICT r4
+    task 4): unmatched images survive with null zone_id via an anti-join
+    of ids against the refined pairs — no broadcast anywhere, matching
+    the reference's join_how surface (vectorutils/__init__.py:2159-2225)
+    on the scale path. Zones are restricted to a subset so the left
+    preservation is actually exercised (some images match nothing)."""
+    from rsgislib_spark.operators.spatial_join import spatial_join_cells
+
+    load_views(spark, sf_dir)
+    gi = _geo_images(spark).withColumnRenamed("image_key", "image_id")
+    zones = spark.createDataFrame(_zones_with_wkb(spark))
+    zones = zones.filter(F.col("zone_id") % 3 == 0)
+    out = spatial_join_cells(
+        gi, zones, join_op="intersects", id_col="image_id", join_how="left"
+    )
+    return out.select(F.col("image_id").alias("image_key"), "zone_id")
+
+
+ORACLE_Q129 = _cte("""
+SELECT i.image_key, z.zone_id
+FROM geo_images i LEFT JOIN (SELECT * FROM geo_zones WHERE zone_id % 3 = 0) z
+ON i.minx <= z.maxx AND i.maxx >= z.minx AND i.miny <= z.maxy AND i.maxy >= z.miny
+""")
+
+
 def q86_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTRIBUTED classifier training (classification/classsklearn.py
     train→broadcast→predict pattern, but the training itself is Spark):
@@ -5210,6 +5236,7 @@ QUERIES_EXT = {
     "q83_neigh_diff_stats": q83_neigh_diff_stats,
     "q84_border_length": q84_border_length,
     "q85_spatial_join_cells": q85_spatial_join_cells,
+    "q129_spatial_join_cells_left": q129_spatial_join_cells_left,
     "q86_logreg": q86_logreg,
     "q87_phash_near_dup": q87_phash_near_dup,
     "q88_morphology": q88_morphology,
@@ -5372,6 +5399,7 @@ ORACLES_EXT = {
     "q83_neigh_diff_stats": ORACLE_Q83,
     "q84_border_length": ORACLE_Q84,
     "q85_spatial_join_cells": ORACLE_Q85,
+    "q129_spatial_join_cells_left": ORACLE_Q129,
     "q86_logreg": ORACLE_Q86,
     "q87_phash_near_dup": ORACLE_Q87,
     "q88_morphology": ORACLE_Q88,

@@ -205,3 +205,38 @@ class TestLayerPredicates:
         sub = parts[parts.image_id == 0]
         assert set(sub["zone_id"].dropna().astype(int)) == {1, 2}
         assert (sub["zone_id"].isna()).sum() >= 1  # the gap between zones
+
+
+def test_cells_left_right_hows_match_broadcast(spark_tables):
+    """Cells-path left/right parity with the broadcast path (VERDICT r4
+    task 4): identical pair sets including the null-padded unmatched
+    rows, with zero broadcast of either side in the cells plan."""
+    images, zones = spark_tables
+    # left: every image survives; unmatched ones carry null zone_id
+    bl = (
+        spatial_join_broadcast(images, zones, join_op="within", join_how="left")
+        .select("image_id", "zone_id").toPandas()
+    )
+    cl = spatial_join_cells(
+        images, zones, join_op="within", join_how="left"
+    ).toPandas()
+    key = lambda df: set(
+        (i, -1 if z != z else int(z))  # NaN → -1 sentinel
+        for i, z in zip(df["image_id"], df["zone_id"].astype("float"))
+    )
+    assert key(bl) == key(cl)
+    assert cl["zone_id"].isna().sum() > 0
+    # right: every zone survives; unmatched ones carry null image_id
+    br = (
+        spatial_join_broadcast(images, zones, join_op="contains", join_how="right")
+        .select("image_id", "zone_id").toPandas()
+    )
+    cr = spatial_join_cells(
+        images, zones, join_op="contains", join_how="right"
+    ).toPandas()
+    zkey = lambda df: set(
+        ("~none" if i is None or i != i else i, int(z))
+        for i, z in zip(df["image_id"], df["zone_id"])
+    )
+    assert zkey(br) == zkey(cr)
+    assert cr["image_id"].isna().sum() > 0
