@@ -265,16 +265,25 @@ def knn_features_bucketed(
     restricts the scan to the Chebyshev cell neighbourhood).
 
     Same two-phase + ring-escalation design as
-    :func:`knn_points_bucketed`, generalised to d dims: cell key =
-    Σ floor(f_j / cell)·GRID^j, candidates = the (2r+1)^d ring (one
-    chained explode per dimension, pure Catalyst), exact refine +
-    row_number ≤ k, resolution guarantee d_k ≤ r·cell. Returns
-    (query_id, nbr_id, d2, rank). Feature indices must fit 21 bits per
-    dimension and d ≤ 3 for the packed key (the catalog's RAT features
-    do; wider feature spaces should use LSH instead — documented)."""
+    :func:`knn_points_bucketed`, generalised to d dims: candidates =
+    the (2r+1)^d ring (one chained explode per dimension, pure
+    Catalyst), exact refine + row_number ≤ k, resolution guarantee
+    d_k ≤ r·cell (any point outside the Chebyshev ring R is at L∞ —
+    hence L2 — distance > R·cell, in every dimension count). Returns
+    (query_id, nbr_id, d2, rank).
+
+    Cell key: d ≤ 3 packs the per-dim indices into ONE long (radix
+    GRID_DIM — cheapest shuffle key; indices must fit 21 bits); d ≥ 4
+    uses a STRUCT of per-dim longs (Catalyst joins on struct equality;
+    no bit budget, arbitrary d — the reference's apply_rat_knn takes
+    any number of RAT fields, RSGISRATKNN.cpp:82-86). The ring explode
+    is (2r+1)^d rows per query, so high-d escalation hands off to the
+    exact cross-join finalizer after a d-dependent cutoff — grid
+    bucketing's curse of dimensionality is real; for d ≳ 8 prefer
+    similarity.lsh_bucketed_topk."""
     d = len(feat_cols)
-    if d < 1 or d > 3:
-        raise ValueError("knn_features_bucketed supports 1-3 feature dims")
+    if d < 1:
+        raise ValueError("knn_features_bucketed needs at least 1 feature dim")
     q0 = queries.select(
         F.col(id_col).alias("query_id"),
         *[F.col(c).cast("double").alias(f"q{j}") for j, c in enumerate(feat_cols)],
@@ -285,19 +294,23 @@ def knn_features_bucketed(
     )
 
     def key_from(prefix: str, df: DataFrame, offsets=None) -> F.Column:
-        # radix-packed d-digit key; digits shifted by half the radix so
-        # negative feature indices stay injective (signed digits with
-        # magnitude near GRID_DIM/2 would otherwise collide across
-        # adjacent high digits)
-        kcol = F.lit(0).cast("long")
-        for j in range(d):
-            idx = F.floor(F.col(f"{prefix}{j}") / F.lit(cell)).cast("long") + F.lit(
-                GRID_DIM // 2
-            )
+        def digit(j):
+            idx = F.floor(F.col(f"{prefix}{j}") / F.lit(cell)).cast("long")
             if offsets is not None:
                 idx = idx + F.col(f"_o{j}")
-            kcol = kcol * F.lit(GRID_DIM) + idx
-        return kcol
+            return idx
+
+        if d <= 3:
+            # radix-packed d-digit key; digits shifted by half the radix
+            # so negative feature indices stay injective (signed digits
+            # with magnitude near GRID_DIM/2 would otherwise collide
+            # across adjacent high digits)
+            kcol = F.lit(0).cast("long")
+            for j in range(d):
+                kcol = kcol * F.lit(GRID_DIM) + digit(j) + F.lit(GRID_DIM // 2)
+            return kcol
+        # d ≥ 4: struct key — no packing budget, joins on struct equality
+        return F.struct(*[digit(j).alias(f"k{j}") for j in range(d)])
 
     t = t.withColumn("cell_key", key_from("t", t))
 
@@ -327,14 +340,20 @@ def knn_features_bucketed(
     vol = max(span, cell) ** d
     density = n_points / vol if vol > 0 else 0.0
     if density > 0:
-        # radius of the d-ball expected to hold k points (d ≤ 3)
-        ball = {1: 2.0, 2: math.pi, 3: 4.0 * math.pi / 3.0}[d]
+        # radius of the d-ball expected to hold k points
+        # (V_d = π^{d/2} / Γ(d/2 + 1), any d)
+        ball = math.pi ** (d / 2.0) / math.gamma(d / 2.0 + 1.0)
         r_expect = ((k + 1) / (ball * density)) ** (1.0 / d)
         ring = max(1, int(math.ceil(r_expect / cell)))
     else:
         ring = 1
     ring = min(ring, max_ring)
-    XJOIN_RING = {1: 2048, 2: 64, 3: 16}[d]
+    if d <= 3:
+        XJOIN_RING = {1: 2048, 2: 64, 3: 16}[d]
+    else:
+        # largest ring whose (2r+1)^d explode stays under ~20k candidate
+        # cells per query; past it the exact cross-join finalizer wins
+        XJOIN_RING = max(1, int((20_000 ** (1.0 / d) - 1) // 2))
 
     remaining = q0
     outs = []

@@ -5120,6 +5120,64 @@ SELECT query_id, nbr_id, CAST(d2 AS BIGINT) AS d2, CAST(rn AS INT) AS rank FROM 
 """)
 
 
+_Q130_EXTRA_FEATS = [
+    ("f4", "CAST((pt_id * 37) % 2000 AS DOUBLE)"),
+    ("f5", "CAST((pt_id * 41) % 2000 AS DOUBLE)"),
+]
+
+
+def q130_knn_features_d5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-SPACE kNN at d=5 (VERDICT r4 task 5): the bucketed path
+    generalised past the radix-packed key — d ≥ 4 joins on a STRUCT of
+    per-dim cell indices (no 21-bit budget), matching apply_rat_knn's
+    arbitrary-field-count contract (RSGISRATKNN.cpp:82-86). In this
+    sparse lattice the first 3^5-cell bucketed round resolves the dense
+    queries and the escalation hands the stragglers to the exact
+    cross-join finalizer — proven exact against the 5-d brute-force
+    oracle."""
+    from rsgislib_spark.operators.knn import knn_features_bucketed
+
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark)
+    for name, expr in _Q130_EXTRA_FEATS:
+        pts = pts.withColumn(name, F.expr(expr))
+    feats = ["f1", "f2", "f3", "f4", "f5"]
+    train = pts.filter("is_train = 1").select("pt_id", *feats)
+    ap = pts.filter("is_train = 0").select("pt_id", *feats)
+    res = knn_features_bucketed(
+        ap, train, feats, k=3, cell=500.0, exclude_self=False
+    )
+    return res.select(
+        "query_id", "nbr_id",
+        F.col("d2").cast("long").alias("d2"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+ORACLE_Q130 = _cte(f"""
+, pts5 AS (
+  SELECT pt_id, f1, f2, f3,
+         {_Q130_EXTRA_FEATS[0][1]} AS f4,
+         {_Q130_EXTRA_FEATS[1][1]} AS f5,
+         is_train
+  FROM geo_points
+),
+tr AS (SELECT * FROM pts5 WHERE is_train = 1),
+ap AS (SELECT * FROM pts5 WHERE is_train = 0)
+SELECT query_id, nbr_id, CAST(d2 AS BIGINT) AS d2, CAST(rn AS INT) AS rank FROM (
+  SELECT a.pt_id AS query_id, t.pt_id AS nbr_id,
+         (a.f1 - t.f1) * (a.f1 - t.f1) + (a.f2 - t.f2) * (a.f2 - t.f2)
+         + (a.f3 - t.f3) * (a.f3 - t.f3) + (a.f4 - t.f4) * (a.f4 - t.f4)
+         + (a.f5 - t.f5) * (a.f5 - t.f5) AS d2,
+         ROW_NUMBER() OVER (PARTITION BY a.pt_id ORDER BY
+           (a.f1 - t.f1) * (a.f1 - t.f1) + (a.f2 - t.f2) * (a.f2 - t.f2)
+           + (a.f3 - t.f3) * (a.f3 - t.f3) + (a.f4 - t.f4) * (a.f4 - t.f4)
+           + (a.f5 - t.f5) * (a.f5 - t.f5) ASC, t.pt_id ASC) AS rn
+  FROM ap a CROSS JOIN tr t
+) z WHERE rn <= 3
+""")
+
+
 def q90_kuwahara(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kuwahara edge-preserving filter (apply_kuwahara_filter,
     imagefilter/__init__.py stats-filter family): per interior pixel the
@@ -5241,6 +5299,7 @@ QUERIES_EXT = {
     "q87_phash_near_dup": q87_phash_near_dup,
     "q88_morphology": q88_morphology,
     "q89_knn_features_bucketed": q89_knn_features_bucketed,
+    "q130_knn_features_d5": q130_knn_features_d5,
     "q90_kuwahara": q90_kuwahara,
     "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
@@ -5404,6 +5463,7 @@ ORACLES_EXT = {
     "q87_phash_near_dup": ORACLE_Q87,
     "q88_morphology": ORACLE_Q88,
     "q89_knn_features_bucketed": ORACLE_Q89,
+    "q130_knn_features_d5": ORACLE_Q130,
     "q90_kuwahara": ORACLE_Q90,
     "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,

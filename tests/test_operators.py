@@ -448,6 +448,40 @@ class TestKNN:
             assert list(sub["nbr_id"]) == list(ids[order]), qrow.pt_id
             assert np.allclose(sub["d2"].to_numpy(), d2[order])
 
+    @pytest.mark.parametrize("d,cell", [(4, 250.0), (5, 700.0)])
+    def test_knn_features_bucketed_high_d(self, spark, points_pdf, d, cell):
+        """d ≥ 4 struct-key path (no radix budget) == brute force,
+        including NEGATIVE feature values — the generalization past the
+        packed key (VERDICT r4 task 5; ref RSGISRATKNN.cpp:82-86 takes
+        arbitrarily many fields)."""
+        from rsgislib_spark.operators.knn import knn_features_bucketed
+
+        pdf = points_pdf.copy()
+        pdf["g1"] = (pdf["pt_id"] * 37) % 1000
+        pdf["g2"] = (pdf["pt_id"] * 41) % 1000 - 500  # negatives
+        pdf["g3"] = (pdf["pt_id"] * 43) % 1000
+        pdf["g4"] = (pdf["pt_id"] * 47) % 1000
+        pdf["g5"] = (pdf["pt_id"] * 53) % 1000 - 250
+        feats = ["g1", "g2", "g3", "g4", "g5"][:d]
+        k = 3
+        df = spark.createDataFrame(pdf)
+        qs = spark.createDataFrame(pdf.iloc[:25])
+        got = (
+            knn_features_bucketed(qs, df, feats, k=k, cell=cell)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+        )
+        X = pdf[feats].to_numpy(float)
+        ids = pdf["pt_id"].to_numpy()
+        for qrow in pdf.iloc[:25].itertuples(index=False):
+            qv = np.array([getattr(qrow, c) for c in feats], dtype=float)
+            d2 = ((X - qv) ** 2).sum(axis=1)
+            order = np.lexsort((ids, d2))
+            order = order[ids[order] != qrow.pt_id][:k]
+            sub = got[got.query_id == qrow.pt_id]
+            assert list(sub["nbr_id"]) == list(ids[order]), qrow.pt_id
+            assert np.allclose(sub["d2"].to_numpy(), d2[order])
+
     def test_closest_point_join_bucketed_matches_broadcast(self, spark, points_pdf):
         base = spark.createDataFrame(points_pdf.iloc[:50])
         match = spark.createDataFrame(points_pdf.iloc[50:])
