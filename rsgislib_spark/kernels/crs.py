@@ -12,12 +12,31 @@ tools/geometrytools.py:541-591):
  - EPSG:326xx — WGS84 / UTM zone xx N (transverse Mercator, Snyder 1987
    series, ~mm accuracy inside the zone; USGS PP 1395 eq. 8-9..8-25 —
    public-domain math)
+ - EPSG:2154  — RGF93 / Lambert-93 (Lambert conformal conic 2SP,
+   Snyder eq. 15-1..15-11 ellipsoidal, GRS80)
+ - EPSG:5070  — NAD83 / Conus Albers (Albers equal-area conic,
+   Snyder eq. 14-1..14-11 + authalic series 3-18, GRS80)
+ - EPSG:3035  — ETRS89-extended / LAEA Europe (Lambert azimuthal
+   equal-area, Snyder eq. 24-2..24-14 ellipsoidal, GRS80)
+
+Datum note: RGF93 / NAD83 / ETRS89 are all realisations that agree with
+WGS84 at the sub-metre level; like GDAL with no datum grids loaded, the
+registry applies a null datum shift and only the projection math (this
+matches the reference's default OSR behaviour for these CRSs).
 
 All functions take/return float64 numpy arrays and are used inside
 Arrow-batched pandas UDFs (no per-row Python, per the north rule).
 
 The registry routes any supported pair through lon/lat:
 ``transform(src_epsg, dst_epsg, x, y)``.
+
+EPSG codes OUTSIDE the builtin registry route through a pluggable
+external backend (``external_crs_backend()``): pyproj is probed at first
+use and serves any EPSG pair when installed (`pip install pyproj` at
+deploy); absent, the registry raises with that instruction — the same
+seam pattern as kernels/codecs.py's pluggable codec backends. Builtin
+codes always use the closed-form math so catalog oracles stay
+hash-exact regardless of what is installed.
 """
 
 from __future__ import annotations
@@ -133,6 +152,230 @@ def utm_to_lonlat(x, y, zone: int):
     return np.degrees(lam), np.degrees(phi)
 
 
+# ------------------------------------------- conic / azimuthal projections
+#
+# Parametrized ellipsoidal forms from Snyder 1987 (USGS PP 1395 —
+# public-domain math). Each class precomputes the projection constants
+# once at registry-build time; fwd/inv are pure vectorized numpy.
+
+# GRS80 ellipsoid (EPSG:7019) — the ellipsoid of ETRS89 / NAD83 / RGF93.
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+
+
+def _m_par(phi, e2):
+    """Snyder eq. 14-15: m = cos(phi) / sqrt(1 - e² sin²(phi))."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+
+
+def _t_conformal(phi, e):
+    """Snyder eq. 15-9: isometric-latitude kernel for conformal conics."""
+    s = e * np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+
+
+def _q_authalic(phi, e, e2):
+    """Snyder eq. 3-12: authalic-latitude kernel for equal-area forms."""
+    s = np.sin(phi)
+    es = e * s
+    return (1.0 - e2) * (s / (1.0 - e2 * s * s)
+                         - (1.0 / (2.0 * e)) * np.log((1.0 - es) / (1.0 + es)))
+
+
+def _inv_conformal_lat(chi, e2):
+    """Snyder eq. 3-5: latitude from conformal latitude (series)."""
+    e4, e6, e8 = e2 * e2, e2 ** 3, e2 ** 4
+    return (chi
+            + (e2 / 2.0 + 5.0 * e4 / 24.0 + e6 / 12.0 + 13.0 * e8 / 360.0) * np.sin(2 * chi)
+            + (7.0 * e4 / 48.0 + 29.0 * e6 / 240.0 + 811.0 * e8 / 11520.0) * np.sin(4 * chi)
+            + (7.0 * e6 / 120.0 + 81.0 * e8 / 1120.0) * np.sin(6 * chi)
+            + (4279.0 * e8 / 161280.0) * np.sin(8 * chi))
+
+
+def _inv_authalic_lat(beta, e2):
+    """Snyder eq. 3-18: latitude from authalic latitude (series)."""
+    e4, e6 = e2 * e2, e2 ** 3
+    return (beta
+            + (e2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0) * np.sin(2 * beta)
+            + (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * np.sin(4 * beta)
+            + (761.0 * e6 / 45360.0) * np.sin(6 * beta))
+
+
+class LambertConformalConic2SP:
+    """Snyder 1987 eq. 15-1..15-11 (ellipsoidal, two standard parallels)."""
+
+    def __init__(self, a, f, phi1_deg, phi2_deg, phi0_deg, lam0_deg, fe, fn):
+        self.a, self.fe, self.fn = a, fe, fn
+        self.e2 = f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+        self.lam0 = np.radians(lam0_deg)
+        p1, p2, p0 = (np.radians(d) for d in (phi1_deg, phi2_deg, phi0_deg))
+        m1, m2 = _m_par(p1, self.e2), _m_par(p2, self.e2)
+        t1, t2, t0 = (_t_conformal(p, self.e) for p in (p1, p2, p0))
+        self.n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+        self.F = m1 / (self.n * t1 ** self.n)
+        self.rho0 = a * self.F * t0 ** self.n
+
+    def fwd(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64))
+        t = _t_conformal(phi, self.e)
+        rho = self.a * self.F * t ** self.n
+        th = self.n * (lam - self.lam0)
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inv(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
+        rho = np.sign(self.n) * np.sqrt(dx * dx + dy * dy)
+        t = (rho / (self.a * self.F)) ** (1.0 / self.n)
+        chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        phi = _inv_conformal_lat(chi, self.e2)
+        lam = self.lam0 + np.arctan2(dx, dy) / self.n
+        return np.degrees(lam), np.degrees(phi)
+
+
+class AlbersEqualArea:
+    """Snyder 1987 eq. 14-1..14-11 (ellipsoidal, two standard parallels)."""
+
+    def __init__(self, a, f, phi1_deg, phi2_deg, phi0_deg, lam0_deg, fe, fn):
+        self.a, self.fe, self.fn = a, fe, fn
+        self.e2 = f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+        self.lam0 = np.radians(lam0_deg)
+        p1, p2, p0 = (np.radians(d) for d in (phi1_deg, phi2_deg, phi0_deg))
+        m1, m2 = _m_par(p1, self.e2), _m_par(p2, self.e2)
+        q1, q2, q0 = (_q_authalic(p, self.e, self.e2) for p in (p1, p2, p0))
+        self.n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        self.C = m1 * m1 + self.n * q1
+        self.qp = _q_authalic(np.pi / 2.0, self.e, self.e2)
+        self.rho0 = a * np.sqrt(self.C - self.n * q0) / self.n
+
+    def fwd(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64))
+        q = _q_authalic(phi, self.e, self.e2)
+        rho = self.a * np.sqrt(self.C - self.n * q) / self.n
+        th = self.n * (lam - self.lam0)
+        return self.fe + rho * np.sin(th), self.fn + self.rho0 - rho * np.cos(th)
+
+    def inv(self, x, y):
+        dx = np.asarray(x, np.float64) - self.fe
+        dy = self.rho0 - (np.asarray(y, np.float64) - self.fn)
+        rho = np.sqrt(dx * dx + dy * dy)
+        q = (self.C - (rho * self.n / self.a) ** 2) / self.n
+        beta = np.arcsin(np.clip(q / self.qp, -1.0, 1.0))
+        phi = _inv_authalic_lat(beta, self.e2)
+        lam = self.lam0 + np.arctan2(dx, dy) / self.n
+        return np.degrees(lam), np.degrees(phi)
+
+
+class LambertAzimuthalEqualArea:
+    """Snyder 1987 eq. 24-2..24-14 (ellipsoidal oblique case)."""
+
+    def __init__(self, a, f, phi0_deg, lam0_deg, fe, fn):
+        self.a, self.fe, self.fn = a, fe, fn
+        self.e2 = f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+        self.lam0 = np.radians(lam0_deg)
+        p0 = np.radians(phi0_deg)
+        self.qp = _q_authalic(np.pi / 2.0, self.e, self.e2)
+        q0 = _q_authalic(p0, self.e, self.e2)
+        self.beta0 = np.arcsin(q0 / self.qp)
+        self.Rq = a * np.sqrt(self.qp / 2.0)
+        self.D = a * _m_par(p0, self.e2) / (self.Rq * np.cos(self.beta0))
+
+    def fwd(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        lam = np.radians(np.asarray(lon, np.float64))
+        q = _q_authalic(phi, self.e, self.e2)
+        beta = np.arcsin(np.clip(q / self.qp, -1.0, 1.0))
+        sb0, cb0 = np.sin(self.beta0), np.cos(self.beta0)
+        sb, cb = np.sin(beta), np.cos(beta)
+        cl = np.cos(lam - self.lam0)
+        B = self.Rq * np.sqrt(2.0 / (1.0 + sb0 * sb + cb0 * cb * cl))
+        x = self.fe + B * self.D * cb * np.sin(lam - self.lam0)
+        y = self.fn + (B / self.D) * (cb0 * sb - sb0 * cb * cl)
+        return x, y
+
+    def inv(self, x, y):
+        dx = (np.asarray(x, np.float64) - self.fe) / self.D
+        dy = (np.asarray(y, np.float64) - self.fn) * self.D
+        rho = np.sqrt(dx * dx + dy * dy)
+        ce = 2.0 * np.arcsin(np.clip(rho / (2.0 * self.Rq), -1.0, 1.0))
+        sce, cce = np.sin(ce), np.cos(ce)
+        sb0, cb0 = np.sin(self.beta0), np.cos(self.beta0)
+        with np.errstate(invalid="ignore"):
+            qs = self.qp * (cce * sb0 + dy * sce * cb0 / rho)
+        qs = np.where(rho == 0.0, self.qp * sb0, qs)  # projection centre
+        beta = np.arcsin(np.clip(qs / self.qp, -1.0, 1.0))
+        phi = _inv_authalic_lat(beta, self.e2)
+        lam = self.lam0 + np.arctan2(
+            dx * sce, rho * cb0 * cce - dy * sb0 * sce)
+        lam = np.where(rho == 0.0, self.lam0, lam)
+        return np.degrees(lam), np.degrees(phi)
+
+
+#: Builtin parametrized projections (EPSG registry definitions — public).
+PROJECTIONS = {
+    # RGF93 / Lambert-93: sp 49°/44°, origin 46.5°N 3°E, FE 700000 FN 6600000
+    2154: LambertConformalConic2SP(GRS80_A, GRS80_F, 49.0, 44.0, 46.5, 3.0,
+                                   700000.0, 6600000.0),
+    # NAD83 / Conus Albers: sp 29.5°/45.5°, origin 23°N 96°W
+    5070: AlbersEqualArea(GRS80_A, GRS80_F, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    # ETRS89-extended / LAEA Europe: origin 52°N 10°E, FE 4321000 FN 3210000
+    3035: LambertAzimuthalEqualArea(GRS80_A, GRS80_F, 52.0, 10.0,
+                                    4321000.0, 3210000.0),
+}
+
+
+# -------------------------------------------- pluggable external backend
+#
+# Same seam pattern as kernels/codecs.py: builtin closed-form math is the
+# default (deterministic — catalog oracles hash against it); EPSG codes
+# the builtin registry doesn't know route through pyproj when installed.
+# Ref: the reference's OSR-backed any-EPSG reproject
+# (imageutils/__init__.py:2210-2450).
+
+_EXTERNAL_CRS = None  # None = not yet probed; [] = probed, absent
+
+
+class _PyprojBackend:
+    """pyproj-backed any-EPSG transform (probed once per process)."""
+
+    name = "pyproj"
+
+    def __init__(self):
+        import pyproj  # noqa: F401 — probe
+        self._pyproj = pyproj
+        self._cache = {}
+
+    def transform(self, src_epsg: int, dst_epsg: int, x, y):
+        key = (src_epsg, dst_epsg)
+        tr = self._cache.get(key)
+        if tr is None:
+            tr = self._pyproj.Transformer.from_crs(
+                f"EPSG:{src_epsg}", f"EPSG:{dst_epsg}", always_xy=True)
+            self._cache[key] = tr
+        tx, ty = tr.transform(np.asarray(x, np.float64),
+                              np.asarray(y, np.float64))
+        return np.asarray(tx, np.float64), np.asarray(ty, np.float64)
+
+
+def external_crs_backend():
+    """The external CRS backend if installed (probed once), else None.
+    Empty in the sandbox (no pyproj); live after `pip install pyproj`
+    at deploy. Tests monkeypatch the module global to inject a fake."""
+    global _EXTERNAL_CRS
+    if _EXTERNAL_CRS is None:
+        try:
+            _EXTERNAL_CRS = [_PyprojBackend()]
+        except Exception:
+            _EXTERNAL_CRS = []
+    return _EXTERNAL_CRS[0] if _EXTERNAL_CRS else None
+
+
 # --------------------------------------------------------------- registry
 
 def _epsg_to_lonlat(epsg: int, x, y):
@@ -142,6 +385,9 @@ def _epsg_to_lonlat(epsg: int, x, y):
         return webmercator_to_lonlat(x, y)
     if 32601 <= epsg <= 32660:
         return utm_to_lonlat(x, y, epsg - 32600)
+    proj = PROJECTIONS.get(epsg)
+    if proj is not None:
+        return proj.inv(x, y)
     raise ValueError(f"unsupported EPSG:{epsg}")
 
 
@@ -152,15 +398,36 @@ def _lonlat_to_epsg(epsg: int, lon, lat):
         return lonlat_to_webmercator(lon, lat)
     if 32601 <= epsg <= 32660:
         return lonlat_to_utm(lon, lat, epsg - 32600)
+    proj = PROJECTIONS.get(epsg)
+    if proj is not None:
+        return proj.fwd(lon, lat)
     raise ValueError(f"unsupported EPSG:{epsg}")
 
 
+def is_builtin_epsg(epsg: int) -> bool:
+    return (epsg in (4326, 3857) or 32601 <= epsg <= 32660
+            or epsg in PROJECTIONS)
+
+
 def transform(src_epsg: int, dst_epsg: int, x, y):
-    """Vectorized coordinate transform, routed through lon/lat."""
+    """Vectorized coordinate transform, routed through lon/lat.
+
+    Builtin EPSG codes always take the closed-form path (deterministic
+    — oracle-hashed); any other code routes through the external
+    backend (pyproj) when installed, else raises with the deploy
+    instruction."""
     if src_epsg == dst_epsg:
         return np.asarray(x, np.float64), np.asarray(y, np.float64)
-    lon, lat = _epsg_to_lonlat(src_epsg, x, y)
-    return _lonlat_to_epsg(dst_epsg, lon, lat)
+    if is_builtin_epsg(src_epsg) and is_builtin_epsg(dst_epsg):
+        lon, lat = _epsg_to_lonlat(src_epsg, x, y)
+        return _lonlat_to_epsg(dst_epsg, lon, lat)
+    be = external_crs_backend()
+    if be is not None:
+        return be.transform(src_epsg, dst_epsg, x, y)
+    raise ValueError(
+        f"EPSG:{src_epsg}->EPSG:{dst_epsg} is outside the builtin registry "
+        "and no external CRS backend is installed — `pip install pyproj` "
+        "at deploy (kernels/crs.py external_crs_backend seam)")
 
 
 def transform_bbox(src_epsg: int, dst_epsg: int, minx, miny, maxx, maxy):

@@ -5277,6 +5277,122 @@ SELECT query_id, nbr_id, CAST(d2 AS BIGINT) AS d2, CAST(rn AS INT) AS rank FROM 
 """)
 
 
+def q131_reproject_conic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conic / azimuthal reprojection family (reproject via OSR for
+    EPSG:2154 Lambert-93, EPSG:5070 Conus Albers, EPSG:3035 LAEA Europe
+    — the reference reaches these through GDAL/OSR,
+    imageutils/__init__.py:2210-2450; here they are closed-form Snyder
+    1987 kernels, kernels/crs.py). Points map onto a lon/lat lattice,
+    project forward through all three CRSs (oracle = independent SQL
+    recomputation of the Snyder formulas, compared at integer-metre
+    granularity — FLOOR puts cross-engine libm ulps ~1e-8 m far from
+    every comparison boundary), and round-trip through each inverse
+    (rt_ok counts projections whose round-trip lands back on the source
+    lattice within 0.5e-6 deg; the oracle requires all 3). Single
+    mapInPandas — scan-resident, zero shuffle at any scale."""
+    from rsgislib_spark.kernels import crs as CRS
+
+    load_views(spark, sf_dir)
+    pts = _geo_points(spark).select(
+        "pt_id",
+        (F.lit(3.0) + F.col("x") / 12500.0).alias("lon"),
+        (F.lit(45.0) + F.col("y") / 12500.0).alias("lat"),
+    )
+
+    def _pr(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            lon = pdf["lon"].to_numpy(np.float64)
+            lat = pdf["lat"].to_numpy(np.float64)
+            out = {"pt_id": pdf["pt_id"].to_numpy(np.int64)}
+            rt_ok = np.zeros(len(pdf), dtype=np.int64)
+            for code, name in ((2154, "l93"), (5070, "alb"), (3035, "laea")):
+                ex, ny = CRS.transform(4326, code, lon, lat)
+                out[f"{name}_e"] = np.floor(ex).astype(np.int64)
+                out[f"{name}_n"] = np.floor(ny).astype(np.int64)
+                blon, blat = CRS.transform(code, 4326, ex, ny)
+                ok = (np.abs(blon - lon) < 0.5e-6) & (np.abs(blat - lat) < 0.5e-6)
+                rt_ok += ok.astype(np.int64)
+                if code == 2154:
+                    rt_lon, rt_lat = blon, blat
+            out["rt_lon"] = rt_lon
+            out["rt_lat"] = rt_lat
+            out["rt_ok"] = rt_ok
+            yield pd.DataFrame(out)
+
+    res = pts.mapInPandas(
+        _pr,
+        schema=("pt_id long, l93_e long, l93_n long, alb_e long, alb_n long, "
+                "laea_e long, laea_n long, rt_lon double, rt_lat double, rt_ok long"),
+    )
+    return res.select(
+        "pt_id", "l93_e", "l93_n", "alb_e", "alb_n", "laea_e", "laea_n",
+        F.round("rt_lon", 6).alias("rt_lon"),
+        F.round("rt_lat", 6).alias("rt_lat"),
+        "rt_ok",
+    )
+
+
+def _oracle_q131() -> str:
+    """Inline the projection constants (CRS-definition-derived, like
+    q75's _MERC) and recompute all three Snyder forward projections in
+    SQL at full double precision."""
+    from rsgislib_spark.kernels import crs as CRS
+
+    l93, alb, laea = (CRS.PROJECTIONS[c] for c in (2154, 5070, 3035))
+    # LCC 2SP (Snyder 15-1..15-11)
+    lcc_t = (f"TAN(PI() / 4 - phi / 2) / POW((1 - {l93.e!r} * SIN(phi)) "
+             f"/ (1 + {l93.e!r} * SIN(phi)), {l93.e / 2.0!r})")
+    lcc_rho = f"{l93.a * l93.F!r} * POW({lcc_t}, {l93.n!r})"
+    lcc_th = f"{l93.n!r} * (lam - {l93.lam0!r})"
+    # Albers (Snyder 14-1..14-4; q from 3-12)
+    def _q_sql(e, e2):
+        return (f"{1.0 - e2!r} * (SIN(phi) / (1 - {e2!r} * SIN(phi) * SIN(phi)) "
+                f"- {1.0 / (2.0 * e)!r} * LN((1 - {e!r} * SIN(phi)) "
+                f"/ (1 + {e!r} * SIN(phi))))")
+    alb_rho = f"{alb.a!r} * SQRT({alb.C!r} - {alb.n!r} * ({_q_sql(alb.e, alb.e2)})) / {alb.n!r}"
+    alb_th = f"{alb.n!r} * (lam - {alb.lam0!r})"
+    # LAEA oblique (Snyder 24-2..24-14)
+    laea_beta = f"ASIN(({_q_sql(laea.e, laea.e2)}) / {laea.qp!r})"
+    sb0, cb0 = float(np.sin(laea.beta0)), float(np.cos(laea.beta0))
+    laea_b = (f"{laea.Rq!r} * SQRT(2 / (1 + {sb0!r} * SIN(beta) "
+              f"+ {cb0!r} * COS(beta) * COS(lam - {laea.lam0!r})))")
+    return _cte(f"""
+, ll AS (
+  SELECT pt_id, RADIANS(45.0 + y / 12500.0) AS phi,
+         RADIANS(3.0 + x / 12500.0) AS lam,
+         3.0 + x / 12500.0 AS lon, 45.0 + y / 12500.0 AS lat
+  FROM geo_points
+), pj AS (
+  SELECT pt_id, lon, lat,
+         {l93.fe!r} + ({lcc_rho}) * SIN({lcc_th}) AS l93_x,
+         {l93.fn!r} + {l93.rho0!r} - ({lcc_rho}) * COS({lcc_th}) AS l93_y,
+         ({alb_rho}) * SIN({alb_th}) AS alb_x,
+         {alb.rho0!r} - ({alb_rho}) * COS({alb_th}) AS alb_y,
+         {laea_beta} AS beta, lam
+  FROM ll
+), laea AS (
+  SELECT pt_id, lon, lat, l93_x, l93_y, alb_x, alb_y,
+         {laea.fe!r} + ({laea_b}) * {laea.D!r} * COS(beta)
+           * SIN(lam - {laea.lam0!r}) AS laea_x,
+         {laea.fn!r} + ({laea_b}) / {laea.D!r} * ({cb0!r} * SIN(beta)
+           - {sb0!r} * COS(beta) * COS(lam - {laea.lam0!r})) AS laea_y
+  FROM pj
+)
+SELECT pt_id,
+       CAST(FLOOR(l93_x) AS BIGINT) AS l93_e, CAST(FLOOR(l93_y) AS BIGINT) AS l93_n,
+       CAST(FLOOR(alb_x) AS BIGINT) AS alb_e, CAST(FLOOR(alb_y) AS BIGINT) AS alb_n,
+       CAST(FLOOR(laea_x) AS BIGINT) AS laea_e, CAST(FLOOR(laea_y) AS BIGINT) AS laea_n,
+       ROUND(lon, 6) AS rt_lon, ROUND(lat, 6) AS rt_lat,
+       CAST(3 AS BIGINT) AS rt_ok
+FROM laea
+""")
+
+
+ORACLE_Q131 = _oracle_q131()
+
+
 QUERIES_EXT = {
     "q64_north_star": q64_north_star,
     "q91_north_star_decoded": q91_north_star_decoded,
@@ -5300,6 +5416,7 @@ QUERIES_EXT = {
     "q88_morphology": q88_morphology,
     "q89_knn_features_bucketed": q89_knn_features_bucketed,
     "q130_knn_features_d5": q130_knn_features_d5,
+    "q131_reproject_conic": q131_reproject_conic,
     "q90_kuwahara": q90_kuwahara,
     "q73_centroid_classifier": q73_centroid_classifier,
     "q71_spatial_join_left": q71_spatial_join_left,
@@ -5464,6 +5581,7 @@ ORACLES_EXT = {
     "q88_morphology": ORACLE_Q88,
     "q89_knn_features_bucketed": ORACLE_Q89,
     "q130_knn_features_d5": ORACLE_Q130,
+    "q131_reproject_conic": ORACLE_Q131,
     "q90_kuwahara": ORACLE_Q90,
     "q73_centroid_classifier": ORACLE_Q73,
     "q71_spatial_join_left": ORACLE_Q71,

@@ -66,6 +66,104 @@ class TestUTM:
         assert np.allclose(y, y2, atol=1e-4)
 
 
+class TestConicAzimuthal:
+    """Snyder 1987 conic/azimuthal family (EPSG:2154 / 5070 / 3035)."""
+
+    def test_origins_map_to_false_origin(self):
+        for code, (lon0, lat0) in ((2154, (3.0, 46.5)), (5070, (-96.0, 23.0)),
+                                   (3035, (10.0, 52.0))):
+            p = crs.PROJECTIONS[code]
+            x, y = p.fwd(np.array([lon0]), np.array([lat0]))
+            assert abs(x[0] - p.fe) < 1e-6
+            assert abs(y[0] - p.fn) < 1e-6
+
+    def test_epsg_guidance_note_laea_example(self):
+        # EPSG Guidance Note 7-2 worked example (ETRS89-LAEA, 50°N 5°E)
+        x, y = crs.PROJECTIONS[3035].fwd(np.array([5.0]), np.array([50.0]))
+        assert abs(x[0] - 3962799.45) < 0.01
+        assert abs(y[0] - 2999718.85) < 0.01
+
+    def test_scale_unity_at_standard_parallels(self):
+        # conformal (LCC) meridional scale k=1 at both standard parallels
+        p = crs.PROJECTIONS[2154]
+        e2, a = p.e2, p.a
+        for lat in (49.0, 44.0):
+            d = 1e-6
+            x1, y1 = p.fwd(np.array([3.0]), np.array([lat - d / 2]))
+            x2, y2 = p.fwd(np.array([3.0]), np.array([lat + d / 2]))
+            phi = np.radians(lat)
+            M = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            k = np.hypot(x2 - x1, y2 - y1) / (np.radians(d) * M)
+            assert abs(k[0] - 1.0) < 1e-6
+
+    def test_roundtrips_in_area_of_use(self):
+        grids = {2154: (np.linspace(-4, 9, 15), np.linspace(41, 51, 15)),
+                 5070: (np.linspace(-124, -67, 15), np.linspace(24, 49, 15)),
+                 3035: (np.linspace(-10, 30, 15), np.linspace(35, 70, 15))}
+        for code, (lons, lats) in grids.items():
+            LO, LA = np.meshgrid(lons, lats)
+            x, y = crs.transform(4326, code, LO.ravel(), LA.ravel())
+            lo2, la2 = crs.transform(code, 4326, x, y)
+            # authalic/conformal inverse series: ≲1e-8 deg ≈ 1 mm
+            assert np.abs(lo2 - LO.ravel()).max() < 1e-7
+            assert np.abs(la2 - LA.ravel()).max() < 1e-7
+
+    def test_laea_centre_is_finite(self):
+        # rho == 0 at the projection centre exercises the guarded branch
+        lo, la = crs.PROJECTIONS[3035].inv(np.array([4321000.0]),
+                                           np.array([3210000.0]))
+        assert abs(lo[0] - 10.0) < 1e-9
+        assert abs(la[0] - 52.0) < 1e-7
+
+    def test_cross_projection_routing(self):
+        # Lambert-93 -> Conus Albers via lon/lat and back
+        x = np.array([700000.0, 900000.0])
+        y = np.array([6600000.0, 6800000.0])
+        ax, ay = crs.transform(2154, 5070, x, y)
+        x2, y2 = crs.transform(5070, 2154, ax, ay)
+        assert np.allclose(x, x2, atol=1e-3)
+        assert np.allclose(y, y2, atol=1e-3)
+
+
+class TestExternalCrsBackend:
+    def test_unknown_epsg_raises_with_deploy_hint(self, monkeypatch):
+        monkeypatch.setattr(crs, "_EXTERNAL_CRS", [])  # probed, absent
+        with pytest.raises(ValueError, match="pip install pyproj"):
+            crs.transform(4326, 27700, np.array([0.0]), np.array([51.0]))
+
+    def test_builtin_codes_never_route_external(self, monkeypatch):
+        class _Boom:
+            def transform(self, *a):
+                raise AssertionError("builtin pair must not use the backend")
+
+        monkeypatch.setattr(crs, "_EXTERNAL_CRS", [_Boom()])
+        x, y = crs.transform(4326, 2154, np.array([3.0]), np.array([46.5]))
+        assert abs(x[0] - 700000.0) < 1e-6
+
+    def test_injected_backend_serves_unknown_codes(self, monkeypatch):
+        class _Fake:
+            name = "fake"
+
+            def transform(self, s, d, x, y):
+                return np.asarray(x) + 1.0, np.asarray(y) + 2.0
+
+        monkeypatch.setattr(crs, "_EXTERNAL_CRS", [_Fake()])
+        x, y = crs.transform(4326, 27700, np.array([0.0]), np.array([51.0]))
+        assert x[0] == 1.0 and y[0] == 53.0
+
+    def test_pyproj_parity_when_installed(self):
+        pyproj = pytest.importorskip("pyproj")  # absent in the sandbox
+        tr = pyproj.Transformer.from_crs("EPSG:4326", "EPSG:2154",
+                                         always_xy=True)
+        lon = np.linspace(-1, 7, 9)
+        lat = np.linspace(43, 50, 9)
+        px, py = tr.transform(lon, lat)
+        bx, by = crs.transform(4326, 2154, lon, lat)
+        # null datum shift: RGF93≈WGS84 — agree to the metre
+        assert np.abs(np.asarray(px) - bx).max() < 1.0
+        assert np.abs(np.asarray(py) - by).max() < 1.0
+
+
 def test_affine_apply_invert():
     gt = (1000.0, 10.0, 0.0, 5000.0, 0.0, -10.0)
     px = np.array([0.0, 3.0, 7.5])
