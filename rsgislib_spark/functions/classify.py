@@ -79,3 +79,169 @@ def logreg_predict(df: DataFrame, model: dict, out: str = "pred") -> DataFrame:
             F.col(c).cast("double") / F.lit(float(model["feat_scale"]))
         )
     return df.withColumn(out, (z > 0).cast("int"))
+
+
+# ------------------------------------------------ pluggable ML backends
+#
+# Same seam pattern as kernels/codecs.py and kernels/crs.py: the builtin
+# deterministic models above are the default (oracle-hashed); the
+# reference's sklearn/xgboost wrapper surface
+# (classification/classsklearn.py train_sklearn_classifier /
+# apply_sklearn_classifier; classxgboost.py) routes through a probed
+# external backend when those libraries are installed — absent in the
+# sandbox, live after `pip install scikit-learn` (or xgboost) at deploy.
+# The physical shape is the reference's exactly: fit locally on an
+# extracted sample table (driver-fenced collect), ship the fitted model
+# to executors once, predict Arrow-batched per block.
+
+_EXTERNAL_ML = None  # None = not yet probed; [] = probed, absent
+
+
+class _SklearnBackend:
+    """scikit-learn estimators behind the generic fit/apply wrapper."""
+
+    name = "sklearn"
+
+    def __init__(self):
+        import sklearn  # noqa: F401 — probe
+        from sklearn import ensemble, neural_network, svm
+        self._specs = {
+            "random_forest": ensemble.RandomForestClassifier,
+            "extra_trees": ensemble.ExtraTreesClassifier,
+            "gradient_boosting": ensemble.GradientBoostingClassifier,
+            "svm": svm.SVC,
+            "mlp": neural_network.MLPClassifier,
+        }
+
+    def supports(self, spec: str) -> bool:
+        return spec in self._specs
+
+    def fit(self, spec: str, X, y, params: dict):
+        est = self._specs[spec](**params)
+        est.fit(X, y)
+        return est
+
+    @staticmethod
+    def predict(est, X):
+        return est.predict(X)
+
+
+class _XGBoostBackend:
+    """xgboost sklearn-API estimator (ref classification/classxgboost.py)."""
+
+    name = "xgboost"
+
+    def __init__(self):
+        import xgboost
+        self._xgb = xgboost
+
+    def supports(self, spec: str) -> bool:
+        return spec == "xgboost"
+
+    def fit(self, spec: str, X, y, params: dict):
+        est = self._xgb.XGBClassifier(**params)
+        est.fit(X, y)
+        return est
+
+    @staticmethod
+    def predict(est, X):
+        return est.predict(X)
+
+
+def external_ml_backends() -> list:
+    """External ML backends available in this environment (probed once).
+    Empty in the sandbox (no sklearn/xgboost); tests monkeypatch the
+    module global to inject a fake."""
+    global _EXTERNAL_ML
+    if _EXTERNAL_ML is None:
+        found = []
+        for cls in (_SklearnBackend, _XGBoostBackend):
+            try:
+                found.append(cls())
+            except Exception:
+                pass
+        _EXTERNAL_ML = found
+    return _EXTERNAL_ML
+
+
+#: Driver fence for the training-sample collect: 5M rows × ~100 B of
+#: features ≈ 500 MB — the same ceiling as the other broadcast builds.
+MAX_TRAIN_ROWS = 5_000_000
+
+
+def fit_classifier(
+    train_df: DataFrame,
+    feat_cols: Sequence[str],
+    label_col: str,
+    spec: str = "logreg",
+    params: dict | None = None,
+) -> dict:
+    """Generic train wrapper (ref train_sklearn_classifier,
+    classification/classsklearn.py): ``spec="logreg"`` is the builtin
+    distributed-GD model (deterministic, oracle-hashed); tree/kernel
+    specs fit locally on the driver-fenced sample collect through the
+    external backend and raise with the deploy instruction when none is
+    installed."""
+    params = dict(params or {})
+    if spec == "logreg":
+        m = logreg_fit(train_df, feat_cols, label_col, **params)
+        m["spec"] = "logreg"
+        return m
+    for be in external_ml_backends():
+        if be.supports(spec):
+            from rsgislib_spark.qcommon import fenced_small_pdf
+
+            pdf = fenced_small_pdf(
+                train_df.select(*feat_cols, label_col),
+                f"fit_classifier({spec}) training set",
+                "sample/stratify the training table first "
+                "(functions/sampling.py) — model fitting is local by "
+                "design, matching the reference's extracted-samples flow.",
+                max_rows=MAX_TRAIN_ROWS,
+            )
+            X = pdf[list(feat_cols)].to_numpy(np.float64)
+            y = pdf[label_col].to_numpy()
+            est = be.fit(spec, X, y, params)
+            return {"spec": spec, "backend": be.name, "est": est,
+                    "feat_cols": list(feat_cols)}
+    raise ValueError(
+        f"classifier spec {spec!r} needs an external ML backend and none "
+        "is installed — `pip install scikit-learn` (or xgboost) at deploy "
+        "(functions/classify.py external_ml_backends seam)")
+
+
+def apply_classifier(df: DataFrame, model: dict, out: str = "pred") -> DataFrame:
+    """Generic predict wrapper (ref apply_sklearn_classifier): builtin
+    models are pure column expressions; external models predict
+    Arrow-batched per block (the fitted estimator ships to executors
+    once inside the task closure — the reference's block-apply shape)."""
+    if model.get("spec") == "logreg" or "w" in model:
+        return logreg_predict(df, model, out=out)
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    feat_cols = model["feat_cols"]
+    est = model["est"]
+    backend_name = model["backend"]
+    cols = df.columns
+    out_schema = StructType(list(df.schema.fields) + [StructField(out, LongType())])
+
+    def _pred(it):
+        for pdf in it:
+            if len(pdf):
+                X = pdf[feat_cols].to_numpy(np.float64)
+                # predict via the same backend class (static method —
+                # no re-probe; the estimator itself was shipped pickled)
+                if backend_name == "xgboost":
+                    yhat = _XGBoostBackend.predict(est, X)
+                else:
+                    yhat = _SklearnBackend.predict(est, X)
+                pdf = pdf.copy()
+                pdf[out] = np.asarray(yhat).astype(np.int64)
+            else:
+                pdf = pdf.copy()
+                pdf[out] = pd.Series([], dtype=np.int64)
+            yield pdf[cols + [out]]
+
+    return df.mapInPandas(_pred, schema=out_schema)

@@ -115,13 +115,54 @@ def image_features(images: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------------ audio
 
+_EXTERNAL_AUDIO = None  # None = not yet probed; [] = probed, absent
+
+
+class _SoundfileBackend:
+    """soundfile-backed decode for real containers (WAV/FLAC/OGG) —
+    probed once per worker process, the kernels/codecs.py seam pattern."""
+
+    name = "soundfile"
+
+    def __init__(self):
+        import soundfile
+        self._sf = soundfile
+
+    def decode(self, buf, fmt: str) -> np.ndarray:
+        import io
+
+        # external libs need a real buffer; materializing here is the
+        # external path only — the in-house pcm16 path stays zero-copy
+        data, _sr = self._sf.read(io.BytesIO(bytes(buf)), dtype="int16",
+                                  always_2d=True)
+        return np.ascontiguousarray(data[:, 0])  # first channel = mono
+
+
+def external_audio_backend():
+    """The external audio backend if installed (probed once), else None.
+    Empty in the sandbox; live after `pip install soundfile` at deploy.
+    Tests monkeypatch the module global to inject a fake."""
+    global _EXTERNAL_AUDIO
+    if _EXTERNAL_AUDIO is None:
+        try:
+            _EXTERNAL_AUDIO = [_SoundfileBackend()]
+        except Exception:
+            _EXTERNAL_AUDIO = []
+    return _EXTERNAL_AUDIO[0] if _EXTERNAL_AUDIO else None
+
+
 def decode_audio(buf: bytes, fmt: str) -> np.ndarray:
-    """int16 mono PCM decode. Only the raw in-house layout is available
-    in this container."""
+    """int16 mono PCM decode. The raw in-house layout decodes zero-copy;
+    real containers route through the probed external backend."""
     if fmt == "pcm16":
         return np.frombuffer(buf, dtype="<i2")
-    raise NotImplementedError(  # STUB: real audio codecs unavailable here
-        f"audio container {fmt!r} needs an external codec library"
+    be = external_audio_backend()
+    if be is not None:
+        return be.decode(buf, fmt)
+    raise NotImplementedError(  # STUB: real audio codecs absent in sandbox
+        f"audio container {fmt!r} needs an external codec backend — "
+        "`pip install soundfile` at deploy "
+        "(operators/multimodal.py external_audio_backend seam)"
     )
 
 
@@ -174,14 +215,58 @@ def audio_features(audio: DataFrame, frame: int = 1024) -> DataFrame:
 
 # ------------------------------------------------------------------ video
 
+_EXTERNAL_VIDEO = None  # None = not yet probed; [] = probed, absent
+
+
+class _PyAVBackend:
+    """PyAV-backed demux/decode for real containers (MP4/MKV/WebM) —
+    probed once per worker process, the kernels/codecs.py seam pattern."""
+
+    name = "av"
+
+    def __init__(self):
+        import av
+        self._av = av
+
+    def decode_frames(self, buf, fmt: str, h: int, w: int) -> np.ndarray:
+        import io
+
+        with self._av.open(io.BytesIO(bytes(buf))) as container:
+            frames = [f.to_ndarray(format="gray")
+                      for f in container.decode(video=0)]
+        if not frames:
+            return np.zeros((0, h, w), dtype=np.uint8)
+        return np.stack(frames)
+
+
+def external_video_backend():
+    """The external video backend if installed (probed once), else None.
+    Empty in the sandbox; live after `pip install av` at deploy. Tests
+    monkeypatch the module global to inject a fake."""
+    global _EXTERNAL_VIDEO
+    if _EXTERNAL_VIDEO is None:
+        try:
+            _EXTERNAL_VIDEO = [_PyAVBackend()]
+        except Exception:
+            _EXTERNAL_VIDEO = []
+    return _EXTERNAL_VIDEO[0] if _EXTERNAL_VIDEO else None
+
+
 def decode_video_frames(buf: bytes, fmt: str, h: int, w: int) -> np.ndarray:
-    """(n_frames, h, w) uint8 frames from the raw concatenated layout."""
+    """(n_frames, h, w) uint8 frames. The raw concatenated layout decodes
+    zero-copy; real containers route through the probed external
+    backend."""
     if fmt == "rawframes":
         fsz = h * w
         n = len(buf) // fsz
         return np.frombuffer(buf[: n * fsz], dtype=np.uint8).reshape(n, h, w)
-    raise NotImplementedError(  # STUB: real video demux unavailable here
-        f"video container {fmt!r} needs an external demuxer"
+    be = external_video_backend()
+    if be is not None:
+        return be.decode_frames(buf, fmt, h, w)
+    raise NotImplementedError(  # STUB: real video demux absent in sandbox
+        f"video container {fmt!r} needs an external demux backend — "
+        "`pip install av` at deploy "
+        "(operators/multimodal.py external_video_backend seam)"
     )
 
 

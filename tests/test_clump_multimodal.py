@@ -137,6 +137,64 @@ def test_video_frame_sampling(spark):
     assert np.array_equal(got, frames[5])
 
 
+def test_audio_external_backend_seam(monkeypatch):
+    from rsgislib_spark.operators import multimodal as mm
+
+    class _Fake:
+        name = "fake"
+
+        def decode(self, buf, fmt):
+            assert fmt == "wav"
+            return np.frombuffer(bytes(buf), dtype="<i2")[::2]
+
+    monkeypatch.setattr(mm, "_EXTERNAL_AUDIO", [_Fake()])
+    pcm = np.arange(8, dtype="<i2")
+    assert np.array_equal(mm.decode_audio(pcm.tobytes(), "wav"), pcm[::2])
+    # pcm16 never routes external
+    assert np.array_equal(mm.decode_audio(pcm.tobytes(), "pcm16"), pcm)
+    monkeypatch.setattr(mm, "_EXTERNAL_AUDIO", [])  # probed, absent
+    with pytest.raises(NotImplementedError, match="pip install soundfile"):
+        mm.decode_audio(b"xx", "wav")
+
+
+def test_video_external_backend_seam(monkeypatch):
+    from rsgislib_spark.operators import multimodal as mm
+
+    class _Fake:
+        name = "fake"
+
+        def decode_frames(self, buf, fmt, h, w):
+            assert fmt == "mp4"
+            return np.ones((2, h, w), dtype=np.uint8)
+
+    monkeypatch.setattr(mm, "_EXTERNAL_VIDEO", [_Fake()])
+    out = mm.decode_video_frames(b"xx", "mp4", 3, 4)
+    assert out.shape == (2, 3, 4) and out.dtype == np.uint8
+    monkeypatch.setattr(mm, "_EXTERNAL_VIDEO", [])  # probed, absent
+    with pytest.raises(NotImplementedError, match="pip install av"):
+        mm.decode_video_frames(b"xx", "mp4", 3, 4)
+
+
+def test_soundfile_parity_when_installed(spark):
+    soundfile = pytest.importorskip("soundfile")  # absent in the sandbox
+    import io
+
+    from rsgislib_spark.operators.multimodal import audio_features
+
+    pcm = (np.sin(np.linspace(0, 60, 4096)) * 10000).astype("<i2")
+    bio = io.BytesIO()
+    soundfile.write(bio, pcm, 16000, format="WAV", subtype="PCM_16")
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": ["w", "p"],
+                      "bytes": [bio.getvalue(), pcm.tobytes()],
+                      "fmt": ["wav", "pcm16"]})
+    )
+    rows = {r["clip_id"]: r for r in audio_features(df, frame=1024).collect()}
+    # WAV round-trips the same PCM: features identical to the raw path
+    assert rows["w"]["n_samples"] == rows["p"]["n_samples"] == 4096
+    assert abs(rows["w"]["rms_mean"] - rows["p"]["rms_mean"]) < 1e-9
+
+
 # ------------------------------------------------------- fused pipeline
 
 

@@ -110,6 +110,98 @@ def test_logreg_learns_separable_boundary(spark):
     assert model["w"] == model2["w"] and model["b"] == model2["b"]
 
 
+def test_fit_classifier_builtin_spec_delegates_to_logreg(spark):
+    from rsgislib_spark.functions.classify import apply_classifier, fit_classifier
+
+    rng = np.random.default_rng(4)
+    X = rng.uniform(0, 10, size=(200, 2))
+    y = (X[:, 0] + X[:, 1] > 10).astype(int)
+    df = spark.createDataFrame(pd.DataFrame({"fa": X[:, 0], "fb": X[:, 1], "y": y}))
+    m = fit_classifier(df, ["fa", "fb"], "y", spec="logreg",
+                       params={"n_iter": 60, "lr": 1.0, "feat_scale": 10.0})
+    assert m["spec"] == "logreg" and "w" in m
+    out = apply_classifier(df, m).toPandas()
+    assert (out["pred"] == out["y"]).mean() > 0.85
+
+
+def test_fit_classifier_external_raises_with_deploy_hint(spark, monkeypatch):
+    from rsgislib_spark.functions import classify
+
+    monkeypatch.setattr(classify, "_EXTERNAL_ML", [])  # probed, absent
+    df = spark.createDataFrame(pd.DataFrame({"fa": [1.0], "y": [0]}))
+    with pytest.raises(ValueError, match="pip install scikit-learn"):
+        classify.fit_classifier(df, ["fa"], "y", spec="random_forest")
+
+
+def test_fit_classifier_injected_backend_plumbs_fit_and_apply(spark, monkeypatch):
+    """Fake backend proves the wrapper's physical shape: driver-fenced
+    sample collect for fit, Arrow-batched block predict for apply."""
+    from rsgislib_spark.functions import classify
+
+    class _ConstPredictor:
+        # duck-types the sklearn estimator contract; defined locally so
+        # cloudpickle ships it BY VALUE inside the task closure (the
+        # same way a real fitted estimator travels)
+        def __init__(self, cls):
+            self.cls = cls
+
+        def predict(self, X):
+            return np.full(len(X), self.cls)
+
+    class _Majority:
+        name = "sklearn"  # route apply through the sklearn predict path
+
+        def supports(self, spec):
+            return spec == "random_forest"
+
+        def fit(self, spec, X, y, params):
+            assert X.shape[1] == 2
+            return _ConstPredictor(int(np.bincount(np.asarray(y).astype(int)).argmax()))
+
+    monkeypatch.setattr(classify, "_EXTERNAL_ML", [_Majority()])
+    pdf = pd.DataFrame({"fa": [0.0, 1.0, 2.0, 3.0], "fb": [1.0] * 4,
+                        "y": [1, 1, 1, 0]})
+    df = spark.createDataFrame(pdf)
+    m = classify.fit_classifier(df, ["fa", "fb"], "y", spec="random_forest")
+    assert m["backend"] == "sklearn" and m["est"].cls == 1
+    out = classify.apply_classifier(df, m).toPandas()
+    assert list(out.columns) == ["fa", "fb", "y", "pred"]
+    assert (out["pred"] == 1).all()
+
+
+def test_fit_classifier_training_fence(spark, monkeypatch):
+    from rsgislib_spark.functions import classify
+
+    class _Any:
+        name = "sklearn"
+
+        def supports(self, spec):
+            return True
+
+        def fit(self, *a):  # pragma: no cover — fence fires first
+            raise AssertionError
+
+    monkeypatch.setattr(classify, "_EXTERNAL_ML", [_Any()])
+    monkeypatch.setattr(classify, "MAX_TRAIN_ROWS", 2)
+    df = spark.createDataFrame(pd.DataFrame({"fa": [1.0, 2.0, 3.0], "y": [0, 1, 0]}))
+    with pytest.raises(ValueError, match="sample/stratify"):
+        classify.fit_classifier(df, ["fa"], "y", spec="random_forest")
+
+
+def test_sklearn_parity_when_installed(spark):
+    pytest.importorskip("sklearn")  # absent in the sandbox
+    from rsgislib_spark.functions.classify import apply_classifier, fit_classifier
+
+    rng = np.random.default_rng(7)
+    X = rng.uniform(0, 10, size=(300, 2))
+    y = (X[:, 0] > X[:, 1]).astype(int)
+    df = spark.createDataFrame(pd.DataFrame({"fa": X[:, 0], "fb": X[:, 1], "y": y}))
+    m = fit_classifier(df, ["fa", "fb"], "y", spec="random_forest",
+                       params={"n_estimators": 20, "random_state": 0})
+    out = apply_classifier(df, m).toPandas()
+    assert (out["pred"] == out["y"]).mean() > 0.9
+
+
 def test_sym3_closed_form_matches_lapack():
     rng = np.random.default_rng(9)
     for _ in range(25):

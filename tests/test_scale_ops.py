@@ -90,6 +90,36 @@ class TestManifest:
         assert v[v.bucket != 2].ok.all()
 
 
+class TestTableSinkSeam:
+    def test_iceberg_unavailable_in_sandbox(self, spark):
+        # no Iceberg jars or catalog conf here — the probe must say so
+        assert manifest.iceberg_available(spark) is False
+
+    def test_write_table_falls_back_to_manifest(self, spark, skewed_df, tmp_path):
+        out = str(tmp_path / "sink")
+        r = manifest.write_table(skewed_df, out, "row_id",
+                                 table="cat.db.tiles", n_buckets=4)
+        assert r["backend"] == "parquet+manifest"
+        assert len(r["written"]) == 4
+        v = manifest.verify_against_manifest(spark, out, "row_id").toPandas()
+        assert v.ok.all()
+
+    def test_write_table_routes_iceberg_when_configured(
+        self, spark, skewed_df, tmp_path, monkeypatch
+    ):
+        calls = []
+        monkeypatch.setattr(manifest, "iceberg_available", lambda s: True)
+        monkeypatch.setattr(
+            manifest, "_write_iceberg",
+            lambda df, table, mode: calls.append((table, mode)))
+        r = manifest.write_table(skewed_df, str(tmp_path / "x"), "row_id",
+                                 table="cat.db.tiles", mode="append")
+        assert r == {"backend": "iceberg", "table": "cat.db.tiles"}
+        assert calls == [("cat.db.tiles", "append")]
+        # no parquet fallback artifacts
+        assert not (tmp_path / "x").exists()
+
+
 class TestIncrementalStreaming:
     def test_availablenow_resume(self, spark, tmp_path):
         from rsgislib_spark.streaming.incremental import incremental_event_counts
