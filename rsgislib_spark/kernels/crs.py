@@ -9,15 +9,18 @@ tools/geometrytools.py:541-591):
 
  - EPSG:4326  — WGS84 geographic (lon/lat degrees)
  - EPSG:3857  — spherical Web Mercator (exact closed form)
- - EPSG:326xx — WGS84 / UTM zone xx N (transverse Mercator, Snyder 1987
-   series, ~mm accuracy inside the zone; USGS PP 1395 eq. 8-9..8-25 —
-   public-domain math)
+ - EPSG:326xx/327xx — WGS84 / UTM zone xx N and S (transverse
+   Mercator, Snyder 1987 series, ~mm accuracy inside the zone; USGS
+   PP 1395 eq. 8-9..8-25 — public-domain math)
  - EPSG:2154  — RGF93 / Lambert-93 (Lambert conformal conic 2SP,
    Snyder eq. 15-1..15-11 ellipsoidal, GRS80)
  - EPSG:5070  — NAD83 / Conus Albers (Albers equal-area conic,
    Snyder eq. 14-1..14-11 + authalic series 3-18, GRS80)
  - EPSG:3035  — ETRS89-extended / LAEA Europe (Lambert azimuthal
    equal-area, Snyder eq. 24-2..24-14 ellipsoidal, GRS80)
+ - EPSG:3413 / 3031 — NSIDC Sea Ice Polar Stereographic North /
+   Antarctic Polar Stereographic (Snyder eq. 21-33..21-35 / 22-19
+   ellipsoidal variant B, WGS84)
 
 Datum note: RGF93 / NAD83 / ETRS89 are all realisations that agree with
 WGS84 at the sub-metre level; like GDAL with no datum grids loaded, the
@@ -88,8 +91,9 @@ def utm_zone_central_meridian(zone: int) -> float:
     return float(zone * 6 - 183)
 
 
-def lonlat_to_utm(lon, lat, zone: int):
-    """Snyder 1987 eq. 8-9..8-15 (northern hemisphere)."""
+def lonlat_to_utm(lon, lat, zone: int, south: bool = False):
+    """Snyder 1987 eq. 8-9..8-15 (``south`` adds the 10,000,000 m false
+    northing of the EPSG:327xx zones)."""
     phi = np.radians(np.asarray(lat, dtype=np.float64))
     lam = np.radians(np.asarray(lon, dtype=np.float64))
     lam0 = np.radians(utm_zone_central_meridian(zone))
@@ -112,13 +116,17 @@ def lonlat_to_utm(lon, lat, zone: int):
             + (61.0 - 58.0 * T + T ** 2 + 600.0 * C - 330.0 * _EP2) * A ** 6 / 720.0
         )
     )
+    if south:
+        y = y + 10000000.0
     return x, y
 
 
-def utm_to_lonlat(x, y, zone: int):
+def utm_to_lonlat(x, y, zone: int, south: bool = False):
     """Snyder 1987 eq. 8-17..8-25 (footpoint-latitude inverse)."""
     x = np.asarray(x, dtype=np.float64) - _FE
     y = np.asarray(y, dtype=np.float64)
+    if south:
+        y = y - 10000000.0
     lam0 = np.radians(utm_zone_central_meridian(zone))
     M = y / _K0
     mu = M / (WGS84_A * (1.0 - WGS84_E2 / 4.0 - 3.0 * WGS84_E2 ** 2 / 64.0
@@ -317,6 +325,43 @@ class LambertAzimuthalEqualArea:
         return np.degrees(lam), np.degrees(phi)
 
 
+class PolarStereographic:
+    """Snyder 1987 eq. 21-33..21-35 / 22-19 (ellipsoidal, variant B:
+    standard parallel ``phi_ts``). ``south=True`` is the Antarctic
+    aspect — the north equations on mirrored inputs with the outputs
+    point-reflected about the false origin."""
+
+    def __init__(self, a, f, phi_ts_deg, lam0_deg, fe, fn, south=False):
+        self.a, self.fe, self.fn, self.south = a, fe, fn, south
+        self.e2 = f * (2.0 - f)
+        self.e = np.sqrt(self.e2)
+        self.lam0 = np.radians(lam0_deg)
+        pts = np.radians(abs(phi_ts_deg))
+        self.mc = _m_par(pts, self.e2)
+        self.tc = _t_conformal(pts, self.e)
+
+    def fwd(self, lon, lat):
+        phi = np.radians(np.asarray(lat, np.float64))
+        dlam = np.radians(np.asarray(lon, np.float64)) - self.lam0
+        s = -1.0 if self.south else 1.0
+        t = _t_conformal(s * phi, self.e)
+        rho = self.a * self.mc * t / self.tc
+        # north: x = ρ sinΔλ, y = −ρ cosΔλ; south aspect point-reflects
+        return (self.fe + s * rho * np.sin(s * dlam),
+                self.fn - s * rho * np.cos(s * dlam))
+
+    def inv(self, x, y):
+        s = -1.0 if self.south else 1.0
+        dx = s * (np.asarray(x, np.float64) - self.fe)
+        dy = s * (np.asarray(y, np.float64) - self.fn)
+        rho = np.sqrt(dx * dx + dy * dy)
+        t = rho * self.tc / (self.a * self.mc)
+        chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+        phi = s * _inv_conformal_lat(chi, self.e2)
+        lam = self.lam0 + s * np.arctan2(dx, -dy)
+        return np.degrees(lam), np.degrees(phi)
+
+
 #: Builtin parametrized projections (EPSG registry definitions — public).
 PROJECTIONS = {
     # RGF93 / Lambert-93: sp 49°/44°, origin 46.5°N 3°E, FE 700000 FN 6600000
@@ -327,6 +372,11 @@ PROJECTIONS = {
     # ETRS89-extended / LAEA Europe: origin 52°N 10°E, FE 4321000 FN 3210000
     3035: LambertAzimuthalEqualArea(GRS80_A, GRS80_F, 52.0, 10.0,
                                     4321000.0, 3210000.0),
+    # NSIDC Sea Ice Polar Stereographic North: sp 70°N, λ0 45°W (WGS84)
+    3413: PolarStereographic(WGS84_A, WGS84_F, 70.0, -45.0, 0.0, 0.0),
+    # Antarctic Polar Stereographic: sp 71°S, λ0 0° (WGS84)
+    3031: PolarStereographic(WGS84_A, WGS84_F, -71.0, 0.0, 0.0, 0.0,
+                             south=True),
 }
 
 
@@ -385,6 +435,8 @@ def _epsg_to_lonlat(epsg: int, x, y):
         return webmercator_to_lonlat(x, y)
     if 32601 <= epsg <= 32660:
         return utm_to_lonlat(x, y, epsg - 32600)
+    if 32701 <= epsg <= 32760:
+        return utm_to_lonlat(x, y, epsg - 32700, south=True)
     proj = PROJECTIONS.get(epsg)
     if proj is not None:
         return proj.inv(x, y)
@@ -398,6 +450,8 @@ def _lonlat_to_epsg(epsg: int, lon, lat):
         return lonlat_to_webmercator(lon, lat)
     if 32601 <= epsg <= 32660:
         return lonlat_to_utm(lon, lat, epsg - 32600)
+    if 32701 <= epsg <= 32760:
+        return lonlat_to_utm(lon, lat, epsg - 32700, south=True)
     proj = PROJECTIONS.get(epsg)
     if proj is not None:
         return proj.fwd(lon, lat)
@@ -406,7 +460,7 @@ def _lonlat_to_epsg(epsg: int, lon, lat):
 
 def is_builtin_epsg(epsg: int) -> bool:
     return (epsg in (4326, 3857) or 32601 <= epsg <= 32660
-            or epsg in PROJECTIONS)
+            or 32701 <= epsg <= 32760 or epsg in PROJECTIONS)
 
 
 def transform(src_epsg: int, dst_epsg: int, x, y):

@@ -125,6 +125,54 @@ class TestConicAzimuthal:
         assert np.allclose(y, y2, atol=1e-3)
 
 
+class TestUtmSouthAndPolar:
+    def test_utm_south_false_northing_and_roundtrip(self):
+        # Sydney, zone 56S (EPSG:32756): known grid ≈ 334 km E / 6,247 km N
+        x, y = crs.transform(4326, 32756, np.array([151.2]), np.array([-33.9]))
+        assert abs(x[0] - 333569) < 5 and abs(y[0] - 6247473) < 5
+        lo, la = crs.transform(32756, 4326, x, y)
+        assert abs(lo[0] - 151.2) < 1e-8 and abs(la[0] + 33.9) < 1e-8
+        # south northing = north-formula northing + 10,000,000
+        xn, yn = crs.lonlat_to_utm(np.array([151.2]), np.array([-33.9]), 56)
+        assert abs((y[0] - yn[0]) - 10000000.0) < 1e-6
+
+    def test_polar_poles_map_to_false_origin(self):
+        for code, pole in ((3413, 90.0), (3031, -90.0)):
+            p = crs.PROJECTIONS[code]
+            x, y = p.fwd(np.array([123.0]), np.array([pole]))
+            assert abs(x[0] - p.fe) < 1e-6 and abs(y[0] - p.fn) < 1e-6
+
+    def test_polar_scale_unity_at_standard_parallel(self):
+        for code, lat in ((3413, 70.0), (3031, -71.0)):
+            p = crs.PROJECTIONS[code]
+            d = 1e-6
+            x1, y1 = p.fwd(np.array([30.0 - d / 2]), np.array([lat]))
+            x2, y2 = p.fwd(np.array([30.0 + d / 2]), np.array([lat]))
+            phi = np.radians(lat)
+            N = crs.WGS84_A / np.sqrt(1 - crs.WGS84_E2 * np.sin(phi) ** 2)
+            k = np.hypot(x2 - x1, y2 - y1) / (np.radians(d) * N * np.cos(phi))
+            assert abs(k[0] - 1.0) < 1e-6
+
+    def test_polar_orientation(self):
+        # EPSG:3413: the 45°W meridian runs down the -y axis (Greenland
+        # side); EPSG:3031: the Greenwich meridian runs up the +y axis
+        x, y = crs.PROJECTIONS[3413].fwd(np.array([-45.0]), np.array([75.0]))
+        assert abs(x[0]) < 1e-6 and y[0] < 0
+        x, y = crs.PROJECTIONS[3031].fwd(np.array([0.0]), np.array([-75.0]))
+        assert abs(x[0]) < 1e-6 and y[0] > 0
+
+    def test_polar_roundtrips(self):
+        for code, lats in ((3413, np.linspace(60, 89, 8)),
+                           (3031, np.linspace(-89, -60, 8))):
+            p = crs.PROJECTIONS[code]
+            LO, LA = np.meshgrid(np.linspace(-180, 175, 16), lats)
+            x, y = p.fwd(LO.ravel(), LA.ravel())
+            lo2, la2 = p.inv(x, y)
+            dl = (lo2 - LO.ravel() + 180) % 360 - 180
+            assert np.abs(dl).max() < 1e-9
+            assert np.abs(la2 - LA.ravel()).max() < 1e-9
+
+
 class TestExternalCrsBackend:
     def test_unknown_epsg_raises_with_deploy_hint(self, monkeypatch):
         monkeypatch.setattr(crs, "_EXTERNAL_CRS", [])  # probed, absent
